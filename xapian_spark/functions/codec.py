@@ -1,0 +1,136 @@
+"""Delta + VByte codec for posting blocks, vectorized with numpy.
+
+Re-expresses the reference's posting-chunk encoding in a columnar-friendly
+form:
+
+- VByte semantics follow ``pack_uint`` (xapian-core/common/pack.h:315-325):
+  7 data bits per byte, high bit set means "more bytes follow",
+  little-endian 7-bit groups.
+- Delta coding of docids follows the glass postlist chunks, which store
+  docid increments (xapian-core/backends/glass/glass_postlist.cc:677-695).
+
+We deliberately do NOT reproduce the glass chunk *key* layout (B-tree keys);
+Spark's analog is a `postings` table keyed by (term, block_no) with
+first_docid / last_docid / max_wdf columns for block skipping (the
+block-max WAND metadata, cf. xapian-core/weight/bm25weight.cc:180-202).
+
+Encode/decode are pure numpy (no per-row Python loops over postings), so the
+hot path inside pandas UDFs stays vectorized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "vbyte_encode",
+    "vbyte_decode",
+    "encode_docids",
+    "decode_docids",
+    "encode_counts",
+    "decode_counts",
+]
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """VByte-encode an array of non-negative uint64 values.
+
+    Matches pack_uint semantics: least-significant 7-bit group first,
+    continuation bit (0x80) set on all but the final byte of each value.
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    if v.size and int(v.max()) < 0x80:
+        # Fast path: every value fits one byte.
+        return v.astype(np.uint8).tobytes()
+    # Number of 7-bit groups needed per value (at least 1), computed with a
+    # vectorized shift loop (≤10 iterations for 64-bit values).
+    tmp = v >> np.uint64(7)
+    ngroups = np.ones(v.shape, dtype=np.int64)
+    while tmp.any():
+        ngroups += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    total = int(ngroups.sum())
+    out = np.empty(total, dtype=np.uint8)
+    # Output offsets for each value's first byte.
+    offs = np.zeros(v.shape, dtype=np.int64)
+    if v.size > 1:
+        np.cumsum(ngroups[:-1], out=offs[1:])
+    # Write groups position-by-position (max 10 iterations for 64-bit).
+    remaining = v.copy()
+    idx = offs.copy()
+    alive = np.ones(v.shape, dtype=bool)
+    while alive.any():
+        cur = remaining[alive]
+        bytes_here = (cur & np.uint64(0x7F)).astype(np.uint8)
+        more = cur >= np.uint64(0x80)
+        bytes_here[more] |= 0x80
+        out[idx[alive]] = bytes_here
+        remaining[alive] >>= np.uint64(7)
+        idx[alive] += 1
+        still = np.zeros(v.shape, dtype=bool)
+        still[alive] = more
+        alive = still
+    return out.tobytes()
+
+
+def vbyte_decode(data: bytes, count: int) -> np.ndarray:
+    """Decode ``count`` VByte values from ``data`` into uint64 array."""
+    if count == 0:
+        return np.empty(0, dtype=np.uint64)
+    raw = np.frombuffer(data, dtype=np.uint8)
+    if raw.size == count and not (raw & 0x80).any():
+        # Fast path: all single-byte.
+        return raw.astype(np.uint64)
+    is_cont = (raw & 0x80) != 0
+    # Each value ends at a byte with the continuation bit clear.
+    ends = np.flatnonzero(~is_cont)
+    if ends.size != count:
+        raise ValueError(f"vbyte stream has {ends.size} values, expected {count}")
+    starts = np.empty(count, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    maxlen = int(lengths.max())
+    vals = np.zeros(count, dtype=np.uint64)
+    payload = (raw & 0x7F).astype(np.uint64)
+    for k in range(maxlen):
+        has = lengths > k
+        vals[has] |= payload[starts[has] + k] << np.uint64(7 * k)
+    return vals
+
+
+def encode_docids(docids: np.ndarray) -> bytes:
+    """Delta + VByte encode a strictly-increasing docid array.
+
+    First value is stored as-is; subsequent values as (docid[i]-docid[i-1]-1),
+    mirroring the increment coding of glass postlist chunks
+    (glass_postlist.cc:686-695 stores differences).
+    """
+    d = np.ascontiguousarray(docids, dtype=np.uint64)
+    if d.size == 0:
+        return b""
+    deltas = np.empty_like(d)
+    deltas[0] = d[0]
+    if d.size > 1:
+        deltas[1:] = d[1:] - d[:-1] - np.uint64(1)
+    return vbyte_encode(deltas)
+
+
+def decode_docids(data: bytes, count: int) -> np.ndarray:
+    """Inverse of :func:`encode_docids` → uint64 docid array."""
+    deltas = vbyte_decode(data, count)
+    if deltas.size == 0:
+        return deltas
+    deltas[1:] += np.uint64(1)
+    return np.cumsum(deltas, dtype=np.uint64)
+
+
+def encode_counts(counts: np.ndarray) -> bytes:
+    """VByte encode wdf/count values (no delta — not monotone)."""
+    return vbyte_encode(np.ascontiguousarray(counts, dtype=np.uint64))
+
+
+def decode_counts(data: bytes, count: int) -> np.ndarray:
+    return vbyte_decode(data, count)

@@ -1,0 +1,227 @@
+"""Tokenizers.
+
+``xapian_tokenize`` is a faithful re-expression of the reference tokenizer
+state machine ``parse_terms`` (xapian-core/queryparser/termgenerator_internal.cc:189-285)
+with its helper predicates (same file :50-139):
+
+- word characters = Unicode categories Lu Ll Lt Lm Lo Mn Me Mc Nd Nl No Pc
+  (xapian-core/include/xapian/unicode.h:355-369) — note ``_`` is a wordchar
+  (category Pc), so ``snake_case`` is ONE term;
+- acronym folding: ``U.N.C.L.E`` → ``uncle`` when ≥2 uppercase-ASCII letters
+  separated by ``.`` and not followed by a wordchar;
+- infix joins between wordchars: ``'`` ``&`` U+00B7 U+05F4 U+2027 (Unicode
+  apostrophes U+2019/U+201B map to ``'``) — ``AT&T`` → ``at&t``,
+  ``don't`` → ``don't``;
+- digit-infix between digits: ``,`` ``.`` ``;`` + Unicode separators —
+  ``1,000.5`` is one term;
+- soft hyphen / zero-width (non-)joiner / word joiners elided inside words
+  (UNICODE_IGNORE);
+- trailing ``+``/``#`` kept, at most 3, dropped if a wordchar follows
+  (``c++``, ``c#``; ``fish+chips`` → ``fish``, ``chips``);
+- terms longer than 64 **bytes** (UTF-8) are dropped
+  (max_word_length, termgenerator_internal.h:45).
+
+Stemming strategy is STEM_NONE for the source-code corpus (the pure-Python
+oracle is configured identically); positions are 1-based emission order like
+``TermGenerator`` (``++cur_pos``, termgenerator_internal.cc:346).
+
+``simple_tokenize`` is a lowercase-whitespace tokenizer used for the generic
+benchmark ``documents`` table so the DuckDB oracle SQL can reproduce it
+exactly (``string_split``).
+
+Both are exposed as Arrow-vectorized pandas UDF factories — data transfer is
+Arrow-batched (no row-at-a-time pickling), per the project's input_hint.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+
+MAX_WORD_LENGTH = 64  # bytes, termgenerator_internal.h:45
+
+_WORDCHAR_CATS = frozenset(
+    ["Lu", "Ll", "Lt", "Lm", "Lo", "Mn", "Me", "Mc", "Nd", "Nl", "No", "Pc"]
+)
+
+# check_infix (termgenerator_internal.cc:81-102): map → replacement or None=elide.
+_INFIX = {
+    "'": "'",
+    "&": "&",
+    "·": "·",
+    "״": "״",
+    "‧": "‧",
+    "’": "'",
+    "‛": "'",
+    "‌": None,
+    "‍": None,
+    "⁠": None,
+    "﻿": None,
+    "­": None,  # soft hyphen
+}
+
+# check_infix_digit (termgenerator_internal.cc:104-126).
+_INFIX_DIGIT = {
+    ",": ",",
+    ".": ".",
+    ";": ";",
+    ";": ";",
+    "։": "։",
+    "؍": "؍",
+    "߸": "߸",
+    "⁄": "⁄",
+    "︐": "︐",
+    "︓": "︓",
+    "︔": "︔",
+    "​": None,
+    "‌": None,
+    "‍": None,
+    "⁠": None,
+    "﻿": None,
+}
+
+
+@lru_cache(maxsize=None)
+def _char_class(ch: str) -> int:
+    """0 = not a wordchar, 1 = wordchar, 2 = decimal digit (also a wordchar)."""
+    cat = unicodedata.category(ch)
+    if cat == "Nd":
+        return 2
+    return 1 if cat in _WORDCHAR_CATS else 0
+
+
+def xapian_tokenize(text: str) -> list[str]:
+    """Tokenize one string exactly like ``parse_terms`` (STEM_NONE path).
+
+    Returns terms in positional order (TermGenerator assigns ++cur_pos per
+    emitted term, termgenerator_internal.cc:346); over-length terms are
+    dropped and do NOT consume a position (the action returns early before
+    add_posting, :333-346).
+    """
+    terms: list[str] = []
+    n = len(text)
+    i = 0
+    cls = _char_class
+    while True:
+        # Advance to the start of the next term (parse_terms :223-229).
+        while i < n and cls(text[i]) == 0:
+            i += 1
+        if i >= n:
+            return terms
+
+        # Acronym rule (:232-252): uppercase-ASCII initials joined by '.'.
+        if "A" <= text[i] <= "Z":  # U_isupper is ASCII-only (:51-55)
+            p = i
+            acro: list[str] = []
+            while True:
+                acro.append(text[p].lower())
+                p += 1
+                if p < n and text[p] == ".":
+                    p += 1  # the '.' is consumed even if the run ends here
+                    if p < n and "A" <= text[p] <= "Z":
+                        continue
+                break
+            # "One letter does not make an acronym!" (:243) and no wordchar
+            # may follow (:247-249).
+            if len(acro) > 1 and (p >= n or cls(text[p]) == 0):
+                i = p
+                _emit(terms, "".join(acro))
+                continue
+            # else: fall through, re-scan from i as a normal term.
+
+        term_chars: list[str] = []
+        ch = text[i].lower()
+        prev_cls = cls(text[i])
+        while True:
+            # Consume a run of wordchars (:255-261).
+            while True:
+                term_chars.append(ch)
+                i += 1
+                if i >= n:
+                    _emit(terms, "".join(term_chars))
+                    return terms
+                c = text[i]
+                k = cls(c)
+                if k == 0:
+                    break
+                ch = c.lower()
+                prev_cls = k
+            # Non-wordchar: infix only if a wordchar follows it (:262-276).
+            if i + 1 >= n:
+                break
+            nxt = text[i + 1]
+            knext = cls(nxt)
+            if knext == 0:
+                break
+            infix_src = text[i]
+            if prev_cls == 2 and knext == 2:
+                if infix_src not in _INFIX_DIGIT:
+                    break
+                rep = _INFIX_DIGIT[infix_src]
+            else:
+                if infix_src not in _INFIX:
+                    break
+                rep = _INFIX[infix_src]
+            if rep is not None:
+                term_chars.append(rep)
+            ch = nxt.lower()
+            prev_cls = knext
+            i += 1
+
+        # Trailing +/# suffix rule (:283-297), max 3, dropped if a wordchar
+        # follows immediately ("fish+chips").
+        base_len = len(term_chars)
+        count = 0
+        hit_end = False
+        while i < n and text[i] in "+#":
+            count += 1
+            if count > 3:
+                del term_chars[base_len:]
+                break
+            term_chars.append(text[i])
+            i += 1
+            if i >= n:
+                hit_end = True
+                break
+        if not hit_end and count <= 3 and i < n and cls(text[i]) != 0:
+            del term_chars[base_len:]
+
+        _emit(terms, "".join(term_chars))
+        if hit_end:
+            return terms
+
+
+def _emit(terms: list[str], term: str) -> None:
+    if len(term.encode("utf-8")) <= MAX_WORD_LENGTH:
+        terms.append(term)
+
+
+def simple_tokenize(text: str) -> list[str]:
+    """Lowercase whitespace tokenizer (oracle-SQL-reproducible)."""
+    return text.lower().split()
+
+
+def tokenize_series(texts: pd.Series, mode: str = "xapian") -> pd.Series:
+    """Batch tokenizer for pandas UDF use → Series of list[str]."""
+    fn = xapian_tokenize if mode == "xapian" else simple_tokenize
+    vals = texts.to_numpy(dtype=object)
+    out = np.empty(len(vals), dtype=object)
+    for j in range(len(vals)):
+        t = vals[j]
+        out[j] = fn(t) if isinstance(t, str) else []
+    return pd.Series(out, index=texts.index)
+
+
+def make_tokenizer_udf(mode: str = "xapian"):
+    """Arrow-vectorized pandas UDF: content:string → array<string> terms."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    @pandas_udf(ArrayType(StringType()))
+    def _tok(texts: pd.Series) -> pd.Series:
+        return tokenize_series(texts, mode=mode)
+
+    return _tok

@@ -1,0 +1,328 @@
+"""Index build pipeline (the reference's ``Inverter`` + glass postlist chunks,
+re-expressed as a Spark job).
+
+Reference shape being reproduced (SURVEY.md §3.3):
+
+- per-document inversion (term → wdf, positions):
+  xapian-core/backends/glass/glass_inverter.h:49-211 — here a single
+  ``mapInPandas`` pass over the corpus (tokenize once, invert in-batch,
+  no shuffle);
+- collection stats: weight/weightinternal.h:106-231 — small aggregations;
+- posting-list chunks with delta-coded docids:
+  backends/glass/glass_postlist.cc:677-695 — here fixed-content blocks keyed
+  by (term, block_no) with first/last docid + max_wdf for block-max pruning.
+
+Scale design (the part that must survive 10^12 docs):
+
+- The inversion pass is shuffle-free (tokenization is per-document).
+- ``dictionary`` and ``doclens`` are groupBy aggregations with map-side
+  partial aggregation, so Zipf-skewed hot terms ("the", "if", "return") do
+  NOT concentrate on one reducer.
+- Posting blocks are grouped by ``(term, span_no)`` where
+  ``span_no = doc_id // span(term)`` and ``span(term)`` shrinks as termfreq
+  grows. A hot term therefore fans out over many groups — the span key IS
+  the salt — while a rare term collapses to a single group. Block contents
+  are a pure function of (term, docid-range contents), so rebuilding any
+  partition is deterministic and resumable (north rule).
+- The postings⋈dictionary join that attaches span(term) is skewed by
+  construction; AQE skew-join splitting handles it (enabled in session.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions import codec
+from ..functions.tokenizer import simple_tokenize, xapian_tokenize
+
+DEFAULT_BLOCK_SIZE = 4096  # postings per block (≈ glass chunk granularity)
+MAX_SPAN = 1 << 22  # docid span cap per group → bounds executor group memory
+_SUBBLOCK_SHIFT = 32  # block_no = span_no << 32 | idx
+
+POSTINGS_FLAT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("term", StringType()),
+        StructField("wdf", IntegerType()),
+        StructField("doc_len", IntegerType()),
+        StructField("positions", ArrayType(IntegerType())),
+    ]
+)
+
+# Posting blocks. ``doclens`` is denormalized into the block (the reference
+# reads doclen from a separate postlist at match time,
+# glass_postlist.cc:196-217; storing it inline removes the docs-join from the
+# scoring path entirely — BM25 needs only (wdf, doc_len)).  ``max_wdf`` and
+# ``min_doclen`` are the block-max WAND metadata (bm25weight.cc:180-202).
+BLOCK_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("block_no", LongType()),
+        StructField("first_docid", LongType()),
+        StructField("last_docid", LongType()),
+        StructField("n", IntegerType()),
+        StructField("max_wdf", IntegerType()),
+        StructField("min_doclen", IntegerType()),
+        StructField("docids", BinaryType()),
+        StructField("wdfs", BinaryType()),
+        StructField("doclens", BinaryType()),
+        StructField("pos_counts", BinaryType()),
+        StructField("positions", BinaryType()),
+    ]
+)
+
+
+@dataclass
+class IndexTables:
+    """The in-memory handle to one index: four DataFrames + config.
+
+    ≈ a glass database directory (postlist/termlist/docdata tables +
+    version file, backends/glass/glass_database.h:82-111).
+    """
+
+    docs: DataFrame  # doc_id, doc_len, …meta
+    dictionary: DataFrame  # term, termfreq, collfreq, wdf_max
+    postings: DataFrame  # BLOCK_SCHEMA
+    stats: dict  # doccount, total_length, avg_length, doclen bounds
+    config: dict = field(default_factory=dict)
+
+
+def invert_corpus(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    mode: str = "xapian",
+    with_positions: bool = True,
+) -> DataFrame:
+    """Corpus → flat postings (doc_id, term, wdf, positions).
+
+    One Arrow-batched pass; the per-doc inversion mirrors
+    Document::Internal's term→TermInfo map (backends/documentinternal.h:69-107).
+    """
+    tok = xapian_tokenize if mode == "xapian" else simple_tokenize
+    src = corpus.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(content_col).alias("_content")
+    )
+
+    def _invert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc: list[int] = []
+            out_term: list[str] = []
+            out_wdf: list[int] = []
+            out_len: list[int] = []
+            out_pos: list[list[int] | None] = []
+            ids = pdf["doc_id"].to_numpy()
+            texts = pdf["_content"].to_numpy(dtype=object)
+            for r in range(len(ids)):
+                text = texts[r]
+                if not isinstance(text, str):
+                    continue
+                terms = tok(text)
+                acc: dict[str, list[int]] = {}
+                for pos, t in enumerate(terms, start=1):
+                    lst = acc.get(t)
+                    if lst is None:
+                        acc[t] = [pos]
+                    else:
+                        lst.append(pos)
+                did = int(ids[r])
+                dlen = len(terms)  # doc_len = Σ wdf (doclen semantics §1.1)
+                for t, poss in acc.items():
+                    out_doc.append(did)
+                    out_term.append(t)
+                    out_wdf.append(len(poss))
+                    out_len.append(dlen)
+                    out_pos.append(poss if with_positions else None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "term": pd.Series(out_term, dtype=object),
+                    "wdf": pd.Series(out_wdf, dtype="int32"),
+                    "doc_len": pd.Series(out_len, dtype="int32"),
+                    "positions": pd.Series(out_pos, dtype=object),
+                }
+            )
+
+    return src.mapInPandas(_invert, POSTINGS_FLAT_SCHEMA)
+
+
+def _pack_blocks(block_size: int, with_positions: bool):
+    """applyInPandas kernel: one (term, span_no) group → ≤ ceil(n/B) block rows.
+
+    Pure numpy encode (codec.py); deterministic: rows sorted by doc_id, block
+    boundaries at every ``block_size``-th posting within the span.
+    """
+
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, span_no = key[0], int(key[1])
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        docids = pdf["doc_id"].to_numpy(dtype=np.uint64)
+        wdfs = pdf["wdf"].to_numpy(dtype=np.uint64)
+        dlens = pdf["doc_len"].to_numpy(dtype=np.uint64)
+        n = len(pdf)
+        rows = []
+        positions = pdf["positions"].to_numpy(dtype=object) if with_positions else None
+        for idx, lo in enumerate(range(0, n, block_size)):
+            hi = min(lo + block_size, n)
+            d = docids[lo:hi]
+            w = wdfs[lo:hi]
+            dl = dlens[lo:hi]
+            pos_counts_blob = None
+            pos_blob = None
+            if with_positions:
+                plists = positions[lo:hi]
+                counts = np.fromiter(
+                    (len(p) if p is not None else 0 for p in plists),
+                    dtype=np.uint64,
+                    count=hi - lo,
+                )
+                pos_counts_blob = codec.vbyte_encode(counts)
+                total = int(counts.sum())
+                flat = np.empty(total, dtype=np.uint64)
+                o = 0
+                for p in plists:
+                    if p is None or len(p) == 0:
+                        continue
+                    arr = np.asarray(p, dtype=np.uint64)
+                    arr = arr.copy()
+                    if len(arr) > 1:
+                        arr[1:] = arr[1:] - arr[:-1] - np.uint64(1)
+                    flat[o : o + len(arr)] = arr
+                    o += len(arr)
+                pos_blob = codec.vbyte_encode(flat)
+            rows.append(
+                {
+                    "term": term,
+                    "block_no": (int(span_no) << _SUBBLOCK_SHIFT) | idx,
+                    "first_docid": int(d[0]),
+                    "last_docid": int(d[-1]),
+                    "n": hi - lo,
+                    "max_wdf": int(w.max()),
+                    "min_doclen": int(dl.min()),
+                    "docids": codec.encode_docids(d),
+                    "wdfs": codec.encode_counts(w),
+                    "doclens": codec.encode_counts(dl),
+                    "pos_counts": pos_counts_blob,
+                    "positions": pos_blob,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return pack
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    meta_cols: list[str] | None = None,
+    mode: str = "xapian",
+    with_positions: bool = True,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    integrity_sha256: bool = True,
+    flat_postings: DataFrame | None = None,
+) -> IndexTables:
+    """Build docs/dictionary/postings/stats from a corpus DataFrame.
+
+    ``flat_postings`` lets a checkpointed build inject pre-staged inversion
+    output (see sources/checkpoint.py) so the merge phase is shared.
+    """
+    flat = flat_postings
+    if flat is None:
+        flat = invert_corpus(corpus, id_col, content_col, mode, with_positions)
+    # Persist: consumed by doclens, dictionary and blocks.
+    flat = flat.persist()
+
+    doclens = flat.groupBy("doc_id").agg(F.max("doc_len").cast("long").alias("doc_len"))
+
+    meta_cols = meta_cols or []
+    doc_side = [F.col(id_col).cast("long").alias("doc_id")] + [
+        F.col(c) for c in meta_cols
+    ]
+    if integrity_sha256:
+        doc_side.append(F.sha2(F.col(content_col).cast("binary"), 256).alias("sha256"))
+    docs = (
+        corpus.select(*doc_side)
+        .join(doclens, "doc_id", "left")
+        .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)).cast("long"))
+    )
+
+    dictionary = flat.groupBy("term").agg(
+        F.count("*").cast("long").alias("termfreq"),
+        F.sum("wdf").cast("long").alias("collfreq"),
+        F.max("wdf").cast("int").alias("wdf_max"),
+    )
+
+    st = doclens.agg(
+        F.count("*").alias("doccount"),
+        F.sum("doc_len").alias("total_length"),
+        F.min("doc_len").alias("doclen_lower_bound"),
+        F.max("doc_len").alias("doclen_upper_bound"),
+    ).collect()[0]
+    n_nonempty = int(st["doccount"] or 0)
+    total_docs = corpus.count()
+    total_length = int(st["total_length"] or 0)
+    stats = {
+        "doccount": total_docs,
+        "total_length": total_length,
+        # get_avlength = total_length / doccount (api/omdatabase.cc semantics)
+        "avg_length": (total_length / total_docs) if total_docs else 0.0,
+        # empty docs exist → doclen lower bound is 0 when corpus has them
+        "doclen_lower_bound": 0
+        if total_docs > n_nonempty
+        else int(st["doclen_lower_bound"] or 0),
+        "doclen_upper_bound": int(st["doclen_upper_bound"] or 0),
+    }
+
+    # Adaptive span: expected ~block_size postings per (term, span) group.
+    # span is a pure function of global termfreq → deterministic.
+    dict_spans = dictionary.select(
+        "term",
+        F.least(
+            F.lit(MAX_SPAN),
+            F.greatest(
+                F.lit(block_size),
+                (F.ceil(F.lit(total_docs + 1) / F.col("termfreq")) * block_size),
+            ),
+        )
+        .cast("long")
+        .alias("span"),
+    )
+
+    grouped = (
+        flat.join(dict_spans, "term")  # AQE splits the hot-term skew here
+        .withColumn("span_no", (F.col("doc_id") / F.col("span")).cast("long"))
+        .select("term", "span_no", "doc_id", "wdf", "doc_len", "positions")
+    )
+    postings = grouped.groupBy("term", "span_no").applyInPandas(
+        _pack_blocks(block_size, with_positions), BLOCK_SCHEMA
+    )
+
+    return IndexTables(
+        docs=docs,
+        dictionary=dictionary,
+        postings=postings,
+        stats=stats,
+        config={
+            "mode": mode,
+            "with_positions": with_positions,
+            "block_size": block_size,
+        },
+    )

@@ -1,0 +1,595 @@
+"""The matcher: Query tree → DataFrame plan → ranked MSet.
+
+Re-expresses Xapian's match pipeline (SURVEY.md §3.2,
+xapian-core/matcher/matcher.cc:181-760) Spark-first:
+
+- Phase 1 (global statistics, matcher.cc:313-336): collection stats come
+  from the index's stats dict + dictionary rows for the query terms — tiny,
+  computed driver-side and broadcast into Column expressions, which is
+  exactly why scores are shard/partition-invariant.
+- Phase 2 (plan lowering, localsubmatch.cc:174+): `_eval` lowers the Query
+  tree into joins/aggregations over decoded posting blocks.  AND is the
+  union-count shape, OR sums weights, AND_NOT is an anti-join, FILTER a
+  semi-join — the docid-sorted streaming merges of matcher/*postlist.cc are
+  Spark shuffles on doc_id.
+- Phase 3-5 (drive loop + shard merge): per-partition partial top-k and the
+  global merge are Spark's TakeOrderedAndProject (`orderBy().limit(k)`),
+  with the mandatory tie-break weight DESC, doc_id ASC
+  (matcher/msetcmp.cc:55-60).
+
+Weight summation: Xapian sums per-term doubles in postlist-tree order; we
+sum in leaf order via a sorted-array aggregate so scores are deterministic
+across partitionings and match the oracle bit-for-bit at float64.
+
+Scoring itself is pure Column expressions (no Python) over (wdf, doc_len)
+decoded from blocks by one Arrow-batched numpy kernel.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions import codec
+from ..functions.weights import BM25Params, BM25Term, bm25_init
+from ..plans import query as Q
+from .indexer import IndexTables
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("wdf", IntegerType()),
+        StructField("doc_len", IntegerType()),
+        StructField("positions", ArrayType(IntegerType())),
+    ]
+)
+
+
+def decode_blocks(blocks: DataFrame, with_positions: bool = False) -> DataFrame:
+    """Posting blocks → (term, doc_id, wdf, doc_len[, positions]) rows.
+
+    One numpy kernel per Arrow batch; inverse of indexer._pack_blocks.
+    """
+    cols = ["term", "n", "docids", "wdfs", "doclens"]
+    if with_positions:
+        cols += ["pos_counts", "positions"]
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms_out: list[np.ndarray] = []
+            parts: list[pd.DataFrame] = []
+            for row in pdf.itertuples(index=False):
+                n = int(row.n)
+                d = codec.decode_docids(row.docids, n).astype(np.int64)
+                w = codec.decode_counts(row.wdfs, n).astype(np.int32)
+                dl = codec.decode_counts(row.doclens, n).astype(np.int32)
+                out = {
+                    "term": np.repeat(row.term, n),
+                    "doc_id": d,
+                    "wdf": w,
+                    "doc_len": dl,
+                }
+                if with_positions:
+                    counts = codec.vbyte_decode(row.pos_counts, n).astype(np.int64)
+                    flat = codec.vbyte_decode(row.positions, int(counts.sum()))
+                    flat = flat.astype(np.int64)
+                    poss = np.empty(n, dtype=object)
+                    o = 0
+                    for i in range(n):
+                        c = int(counts[i])
+                        seg = flat[o : o + c].copy()
+                        if c > 1:
+                            seg[1:] += 1
+                            np.cumsum(seg, out=seg)
+                        poss[i] = seg.astype(np.int32)
+                        o += c
+                    out["positions"] = poss
+                else:
+                    out["positions"] = np.full(n, None, dtype=object)
+                parts.append(pd.DataFrame(out))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+            else:
+                yield pd.DataFrame(
+                    {
+                        "term": pd.Series([], dtype=object),
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "wdf": pd.Series([], dtype="int32"),
+                        "doc_len": pd.Series([], dtype="int32"),
+                        "positions": pd.Series([], dtype=object),
+                    }
+                )
+
+    return blocks.select(*cols).mapInPandas(_decode, DECODED_SCHEMA)
+
+
+def _ordered_weight_sum(df: DataFrame) -> list:
+    """groupBy(doc_id) aggregates: deterministic leaf-ordered float64 sum +
+    match count.  df must have (doc_id, ord, weight)."""
+    return [
+        F.count("*").cast("int").alias("nmatched"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ord").alias("o"), F.col("weight").alias("w")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["w"],
+        ).alias("weight"),
+    ]
+
+
+@dataclass
+class MSetResult:
+    """≈ Xapian::MSet (include/xapian/mset.h:287-315)."""
+
+    df: DataFrame  # rank, doc_id, weight
+    matches: int | None = None  # exact count (reference reports bounds)
+    max_possible: float | None = None
+
+
+class Matcher:
+    """One matcher per index; queries share broadcast stats + dictionary."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index: IndexTables,
+        params: BM25Params = BM25Params(),
+    ):
+        self.spark = spark
+        self.index = index
+        self.params = params
+        self._leaf_counter = 0
+
+    # ---------------- public API ----------------
+
+    def mset(
+        self,
+        q: Q.Query,
+        maxitems: int = 10,
+        first: int = 0,
+        with_count: bool = False,
+    ) -> MSetResult:
+        """≈ Enquire::get_mset (api/enquire.cc:257-340)."""
+        q = Q.normalize(q)
+        if isinstance(q, Q.MatchNothing):
+            empty = self.spark.createDataFrame(
+                [], "rank long, doc_id long, weight double"
+            )
+            return MSetResult(df=empty, matches=0)
+        self._leaf_counter = 0
+        matched = self._eval(q, factor=1.0)
+        ranked = matched.orderBy(F.desc("weight"), F.asc("doc_id")).limit(
+            first + maxitems
+        )
+        rows = ranked.collect()[first : first + maxitems]
+        out = self.spark.createDataFrame(
+            [(i + 1 + first, r["doc_id"], float(r["weight"])) for i, r in enumerate(rows)],
+            "rank long, doc_id long, weight double",
+        )
+        res = MSetResult(df=out)
+        if with_count:
+            res.matches = matched.count()
+        return res
+
+    def mset_df(self, q: Q.Query, k: int) -> DataFrame:
+        """Top-k as a pure DataFrame (TakeOrderedAndProject, no collect) —
+        the path bench + the driver contract use."""
+        q = Q.normalize(q)
+        if isinstance(q, Q.MatchNothing):
+            return self.spark.createDataFrame([], "doc_id long, weight double")
+        self._leaf_counter = 0
+        matched = self._eval(q, factor=1.0)
+        return matched.orderBy(F.desc("weight"), F.asc("doc_id")).limit(k)
+
+    def count_matches(self, q: Q.Query) -> int:
+        q = Q.normalize(q)
+        if isinstance(q, Q.MatchNothing):
+            return 0
+        return self._eval_bool(q).count()
+
+    # ---------------- helpers ----------------
+
+    def _term_stats(self, terms: list[str]) -> dict[str, tuple[int, int, int]]:
+        """Dictionary lookup: term → (termfreq, collfreq, wdf_max).
+
+        Driver-side collect of ≤ #query-terms rows (phase-1 stats
+        accumulation, weight/weightinternal.h:106-231)."""
+        uniq = sorted(set(terms))
+        rows = (
+            self.index.dictionary.filter(F.col("term").isin(uniq))
+            .select("term", "termfreq", "collfreq", "wdf_max")
+            .collect()
+        )
+        return {r["term"]: (r["termfreq"], r["collfreq"], r["wdf_max"]) for r in rows}
+
+    def _weight_for(
+        self, term: str, wqf: int, factor: float, stats: dict
+    ) -> BM25Term | None:
+        ts = stats.get(term)
+        if ts is None:
+            return None
+        return bm25_init(
+            termfreq=ts[0],
+            collection_size=self.index.stats["doccount"],
+            average_length=self.index.stats["avg_length"],
+            wqf=wqf,
+            factor=factor,
+            params=self.params,
+        )
+
+    def _decoded_for_terms(
+        self, terms: list[str], with_positions: bool = False
+    ) -> DataFrame:
+        """Filter blocks to query terms (parquet min/max pruning on the
+        sorted term column ≈ postlist B-tree seek) and decode."""
+        uniq = sorted(set(terms))
+        blocks = self.index.postings.filter(F.col("term").isin(uniq))
+        return decode_blocks(blocks, with_positions=with_positions)
+
+    def _scored_leaf(
+        self, term: str, wqf: int, factor: float, stats: dict
+    ) -> DataFrame:
+        """One term leaf → (doc_id, weight). Pure Column-expression BM25."""
+        w = self._weight_for(term, wqf, factor, stats)
+        if w is None:
+            return self._empty()
+        dec = self._decoded_for_terms([term])
+        return dec.select(
+            "doc_id", w.sumpart_col(F.col("wdf"), F.col("doc_len")).alias("weight")
+        )
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], "doc_id long, weight double")
+
+    def _next_ord(self) -> int:
+        self._leaf_counter += 1
+        return self._leaf_counter
+
+    # ---------------- evaluation ----------------
+
+    def _eval(self, q: Q.Query, factor: float) -> DataFrame:
+        """Weighted evaluation → DF(doc_id unique, weight double)."""
+        stats = self._term_stats(q.terms())
+        return self._eval_inner(q, factor, stats)
+
+    def _union_children(
+        self, children: list[Q.Query], factor: float, stats: dict
+    ) -> DataFrame:
+        parts = []
+        for c in children:
+            cd = self._eval_inner(c, factor, stats)
+            parts.append(cd.withColumn("ord", F.lit(self._next_ord())))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _eval_inner(self, q: Q.Query, factor: float, stats: dict) -> DataFrame:
+        P = self.params
+        if isinstance(q, Q.Term):
+            return self._scored_leaf(q.term, q.wqf, factor, stats)
+
+        if isinstance(q, Q.MatchAll):
+            return self.index.docs.select("doc_id", F.lit(0.0).alias("weight"))
+
+        if isinstance(q, Q.MatchNothing):
+            return self._empty()
+
+        if isinstance(q, Q.Or):
+            u = self._union_children(q.children, factor, stats)
+            return u.groupBy("doc_id").agg(*_ordered_weight_sum(u)).select(
+                "doc_id", "weight"
+            )
+
+        if isinstance(q, Q.And):
+            u = self._union_children(q.children, factor, stats)
+            n = len(q.children)
+            g = u.groupBy("doc_id").agg(*_ordered_weight_sum(u))
+            return g.filter(F.col("nmatched") == n).select("doc_id", "weight")
+
+        if isinstance(q, Q.Xor):
+            u = self._union_children(q.children, factor, stats)
+            g = u.groupBy("doc_id").agg(*_ordered_weight_sum(u))
+            return g.filter(F.col("nmatched") % 2 == 1).select("doc_id", "weight")
+
+        if isinstance(q, Q.AndNot):
+            left = self._eval_inner(q.left, factor, stats)
+            right = self._eval_bool_inner(q.right, stats)
+            return left.join(right, "doc_id", "left_anti")
+
+        if isinstance(q, Q.Filter):
+            left = self._eval_inner(q.left, factor, stats)
+            right = self._eval_bool_inner(q.right, stats)
+            return left.join(right, "doc_id", "left_semi")
+
+        if isinstance(q, Q.AndMaybe):
+            left = self._eval_inner(q.left, factor, stats)
+            right = self._eval_inner(q.right, factor, stats).withColumnRenamed(
+                "weight", "w_r"
+            )
+            j = left.join(right, "doc_id", "left")
+            return j.select(
+                "doc_id",
+                (F.col("weight") + F.coalesce(F.col("w_r"), F.lit(0.0))).alias("weight"),
+            )
+
+        if isinstance(q, Q.MaxOp):
+            u = self._union_children(q.children, factor, stats)
+            return u.groupBy("doc_id").agg(F.max("weight").alias("weight"))
+
+        if isinstance(q, Q.Synonym):
+            return self._eval_synonym(q, factor, stats)
+
+        if isinstance(q, (Q.Phrase, Q.Near)):
+            return self._eval_positional(q, factor, stats)
+
+        if isinstance(q, Q.ValueRange):
+            return self._value_range_docids(q).withColumn("weight", F.lit(0.0))
+
+        if isinstance(q, Q.ScaleWeight):
+            return self._eval_inner(q.subquery, factor * q.factor, stats)
+
+        if isinstance(q, Q.Wildcard):
+            expanded = self._expand_wildcard(q)
+            return self._eval(expanded, factor)
+
+        if isinstance(q, Q.EliteSet):
+            kept = self._elite_select(q, factor, stats)
+            if not kept:
+                return self._empty()
+            return self._eval_inner(Q.Or(kept), factor, stats)
+
+        raise NotImplementedError(f"op {type(q).__name__}")
+
+    # -- boolean-only evaluation (FILTER/AND_NOT right sides): skips scoring,
+    #    Catalyst prunes the wdf/doclen decode columns.
+    def _eval_bool(self, q: Q.Query) -> DataFrame:
+        stats = self._term_stats(q.terms())
+        return self._eval_bool_inner(q, stats)
+
+    def _eval_bool_inner(self, q: Q.Query, stats: dict) -> DataFrame:
+        if isinstance(q, Q.Term):
+            if q.term not in stats:
+                return self.spark.createDataFrame([], "doc_id long")
+            return self._decoded_for_terms([q.term]).select("doc_id")
+        if isinstance(q, Q.MatchAll):
+            return self.index.docs.select("doc_id")
+        if isinstance(q, Q.MatchNothing):
+            return self.spark.createDataFrame([], "doc_id long")
+        if isinstance(q, Q.ValueRange):
+            return self._value_range_docids(q)
+        if isinstance(q, Q.ScaleWeight):
+            return self._eval_bool_inner(q.subquery, stats)
+        # Fall back to weighted eval for compound shapes (weight discarded).
+        return self._eval_inner(q, 0.0, stats).select("doc_id")
+
+    def _value_range_docids(self, q: Q.ValueRange) -> DataFrame:
+        """OP_VALUE_RANGE / _GE / _LE → docs filter; parquet min/max pruning
+        is the exact analog of ValueStats bounds
+        (matcher/valuerangepostlist.h:64-74)."""
+        d = self.index.docs
+        c = F.col(q.column)
+        if q.lo is not None:
+            d = d.filter(c >= F.lit(q.lo))
+        if q.hi is not None:
+            d = d.filter(c <= F.lit(q.hi))
+        return d.select("doc_id")
+
+    def _expand_wildcard(self, q: Q.Wildcard) -> Q.Query:
+        """OP_WILDCARD expansion against the dictionary
+        (api/queryinternal.cc:230-315).  Glob ``*``/``?`` (query.h:330+)."""
+        pat = q.pattern
+        sql_like = pat.replace("%", r"\%").replace("_", r"\_")
+        sql_like = sql_like.replace("*", "%").replace("?", "_")
+        cand = self.index.dictionary.filter(F.col("term").like(sql_like))
+        if q.max_expansion:
+            if q.limit_policy == "most_frequent":
+                cand = cand.orderBy(F.desc("termfreq"), F.asc("term")).limit(
+                    q.max_expansion
+                )
+            elif q.limit_policy == "first":
+                cand = cand.orderBy(F.asc("term")).limit(q.max_expansion)
+            else:  # 'error' — WildcardError semantics (query.h:392)
+                n = cand.count()
+                if n > q.max_expansion:
+                    raise ValueError(
+                        f"wildcard {pat!r} expands to {n} > {q.max_expansion} terms"
+                    )
+        terms = sorted(r["term"] for r in cand.select("term").collect())
+        if not terms:
+            return Q.MatchNothing()
+        leaves: list[Q.Query] = [Q.Term(t) for t in terms]
+        if q.combiner == "or":
+            return Q.Or(leaves)
+        if q.combiner == "max":
+            return Q.MaxOp(leaves)
+        return Q.Synonym(leaves)
+
+    def _elite_select(
+        self, q: Q.EliteSet, factor: float, stats: dict
+    ) -> list[Q.Query]:
+        """OP_ELITE_SET: keep n subqueries with highest max weight
+        (CmpMaxOrTerms, api/queryinternal.cc:81-123).  Global, not per-shard
+        (documented divergence)."""
+        scored = []
+        for i, c in enumerate(q.children):
+            mx = 0.0
+            for t in c.terms():
+                w = self._weight_for(t, 1, factor, stats)
+                ts = stats.get(t)
+                if w and ts:
+                    mx = max(
+                        mx,
+                        w.maxpart(ts[2], self.index.stats["doclen_lower_bound"]),
+                    )
+            scored.append((-mx, i, c))
+        scored.sort(key=lambda x: (x[0], x[1]))
+        return [c for _, _, c in scored[: q.n]]
+
+    # -- synonym: weight as ONE pseudo-term over merged postings
+    #    (matcher/synonympostlist.cc + localsubmatch.cc:209).
+    def _eval_synonym(self, q: Q.Synonym, factor: float, stats: dict) -> DataFrame:
+        terms = q.terms()
+        known = [t for t in terms if t in stats]
+        if not known:
+            return self._empty()
+        dec = self._decoded_for_terms(known)
+        merged = dec.groupBy("doc_id").agg(
+            F.sum("wdf").cast("long").alias("wdf_sum"),
+            F.max("doc_len").cast("long").alias("doc_len"),
+        )
+        # wdf capped by doc_len (synonympostlist.cc get_wdf semantics)
+        merged = merged.withColumn(
+            "wdf", F.least(F.col("wdf_sum"), F.col("doc_len"))
+        )
+        # Combined stats: exact termfreq of the OR (the reference estimates,
+        # api/queryinternal.cc:464-525 — we compute exactly; divergence noted).
+        tf = merged.count()
+        if tf == 0:
+            return self._empty()
+        w = bm25_init(
+            termfreq=tf,
+            collection_size=self.index.stats["doccount"],
+            average_length=self.index.stats["avg_length"],
+            wqf=1,
+            factor=factor,
+            params=self.params,
+        )
+        return merged.select(
+            "doc_id", w.sumpart_col(F.col("wdf"), F.col("doc_len")).alias("weight")
+        )
+
+    # -- positional ops --------------------------------------------------
+    def _eval_positional(self, q: Q.Phrase | Q.Near, factor: float, stats: dict):
+        terms = []
+        for c in q.children:
+            if not isinstance(c, Q.Term):
+                raise NotImplementedError("positional ops require term leaves")
+            terms.append(c.term)
+        n = len(terms)
+        window = q.window if q.window is not None else n
+        is_phrase = isinstance(q, Q.Phrase)
+        if any(t not in stats for t in terms):
+            return self._empty()
+
+        dec = self._decoded_for_terms(terms, with_positions=True)
+        # leaf order index for each term occurrence (repeated terms share
+        # postings but occupy distinct slots in the window check)
+        order_map = {t: i for i, t in enumerate(dict.fromkeys(terms))}
+        term_order = F.create_map(
+            *[x for t, i in order_map.items() for x in (F.lit(t), F.lit(i))]
+        )
+        dec = dec.withColumn("tord", term_order[F.col("term")])
+
+        # AND gate: all distinct terms present
+        n_uniq = len(order_map)
+        g = dec.groupBy("doc_id").agg(
+            F.count("*").alias("npresent"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("tord"), F.col("positions")))
+            ).alias("plists"),
+        )
+        g = g.filter(F.col("npresent") == n_uniq)
+
+        # term-slot sequence (with repeats) indexing into plists
+        slot_of = [order_map[t] for t in terms]
+
+        check = _make_window_check(slot_of, window, is_phrase)
+        g = g.filter(check(F.col("plists"))).select("doc_id")
+
+        # Weight like AND of the terms (PhrasePostList wraps an AndPostList;
+        # term weights contribute individually).
+        and_q = Q.And([Q.Term(t) for t in terms])
+        weighted = self._eval_inner(and_q, factor, stats)
+        return weighted.join(g, "doc_id", "left_semi")
+
+
+def _make_window_check(slot_of: list[int], window: int, is_phrase: bool):
+    """Vectorized (Arrow-batched) positional window predicate.
+
+    Semantics ported from the reference:
+
+    - PHRASE (matcher/phrasepostlist.cc:67-104): ∃ strictly increasing
+      positions p_1 < … < p_n in term order with p_n - p_1 < window.
+    - NEAR (matcher/nearpostlist.cc:75-158): ∃ pairwise-distinct positions,
+      one per term slot, with max - min < window.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    nslots = len(slot_of)
+
+    def phrase_ok(plists: list[np.ndarray]) -> bool:
+        # Greedy scan, equivalent to PhrasePostList::test_doc: for each base
+        # position of the first term, chase the smallest strictly-increasing
+        # positions of the following terms; greedy minimizes the final
+        # position, so it fails only if no chain from this base fits.
+        first = plists[slot_of[0]]
+        for base in first:
+            pos = base
+            ok = True
+            for i in range(1, nslots):
+                arr = plists[slot_of[i]]
+                k = int(np.searchsorted(arr, pos + 1))
+                if k >= len(arr) or arr[k] - base >= window:
+                    ok = False
+                    break
+                pos = arr[k]
+            if ok:
+                return True
+        return False
+
+    def near_ok(plists: list[np.ndarray]) -> bool:
+        # Brute-force over distinct assignments within the window; windows
+        # are small so this is bounded (reference uses a heap sweep).
+        lists = [plists[s] for s in slot_of]
+        # Sweep anchored on each position of the first list for tractability:
+        allpos = sorted(set(int(p) for arr in lists for p in arr))
+        for lo in allpos:
+            hi = lo + window - 1  # max - min < window
+            cand = [[int(p) for p in arr if lo <= p <= hi] for arr in lists]
+            if any(not c for c in cand):
+                continue
+            # distinct assignment exists? (small sets — backtracking)
+            if _distinct_assignment(cand):
+                return True
+        return False
+
+    def _distinct_assignment(cand: list[list[int]], used: frozenset = frozenset()):
+        if not cand:
+            return True
+        head, rest = cand[0], cand[1:]
+        for p in head:
+            if p not in used:
+                if _distinct_assignment(rest, used | {p}):
+                    return True
+        return False
+
+    @pandas_udf(BooleanType())
+    def _check(plists_col: pd.Series) -> pd.Series:
+        out = np.zeros(len(plists_col), dtype=bool)
+        vals = plists_col.to_numpy(dtype=object)
+        for j in range(len(vals)):
+            entry = vals[j]
+            # entry: list of Rows (tord, positions), sorted by tord
+            plists = [np.asarray(e["positions"], dtype=np.int64) for e in entry]
+            out[j] = phrase_ok(plists) if is_phrase else near_ok(plists)
+        return pd.Series(out)
+
+    return _check

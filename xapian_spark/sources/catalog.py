@@ -1,0 +1,66 @@
+"""Index persistence: parquet tables + a snapshot manifest.
+
+Plays the role of the glass version file / revision machinery
+(xapian-core/backends/glass/glass_version.h): a build is visible only once
+its manifest is atomically renamed into place, readers load the manifest and
+see a consistent snapshot — single-writer / many-readers like the reference's
+flint lock + revisioned B-trees (backends/flint_lock.h).
+
+On a real cluster these writes become Iceberg table commits (snapshot id =
+manifest id); the layout here is deliberately Iceberg-shaped: postings are
+range-partitioned and sorted by (term, first_docid) so scans prune on term
+via parquet min/max — the analog of the postlist B-tree key seek.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.indexer import IndexTables
+
+MANIFEST = "MANIFEST.json"
+
+
+def save_index(index: IndexTables, path: str, sort_postings: bool = True) -> dict:
+    """Write all tables + manifest; returns the manifest dict."""
+    os.makedirs(path, exist_ok=True)
+    postings = index.postings
+    if sort_postings:
+        # Term-major clustering ≈ glass postlist key order → parquet
+        # row-group min/max stats give term-level data skipping.
+        postings = postings.repartitionByRange("term", "first_docid").sortWithinPartitions(
+            "term", "first_docid"
+        )
+    postings.write.mode("overwrite").parquet(f"{path}/postings")
+    index.docs.write.mode("overwrite").parquet(f"{path}/docs")
+    index.dictionary.sort("term").write.mode("overwrite").parquet(f"{path}/dictionary")
+    manifest = {
+        "snapshot_id": uuid.uuid4().hex,
+        "committed_at": time.time(),
+        "stats": index.stats,
+        "config": index.config,
+        "tables": ["docs", "dictionary", "postings"],
+    }
+    tmp = f"{path}/.{MANIFEST}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, f"{path}/{MANIFEST}")  # atomic commit ≈ revision flip
+    return manifest
+
+
+def load_index(spark: SparkSession, path: str) -> IndexTables:
+    with open(f"{path}/{MANIFEST}") as f:
+        manifest = json.load(f)
+    return IndexTables(
+        docs=spark.read.parquet(f"{path}/docs"),
+        dictionary=spark.read.parquet(f"{path}/dictionary"),
+        postings=spark.read.parquet(f"{path}/postings"),
+        stats=manifest["stats"],
+        config=manifest["config"],
+    )
