@@ -1,0 +1,672 @@
+"""Driver-contract query surface: Spark implementations + DuckDB oracle SQL.
+
+Every retrieval query runs the REAL pipeline (tokenize → posting blocks with
+delta/VByte → decode → BM25 Column expressions → top-k) over the generic
+``documents`` table, using the ``simple`` whitespace tokenizer so the DuckDB
+oracle can reproduce tokenization exactly (``regexp_split_to_array``).
+
+Scores are rounded to 6 decimals ON BOTH SIDES and ordering is
+(rounded score DESC, doc_id ASC) on both sides, so the driver's
+order-insensitive value-hash comparison is stable: the underlying float64
+arithmetic is performed in the reference's exact operation order on the
+Spark side (see functions/weights.py) and mirrored term-by-term in the SQL
+(e.g. ``doc_len * (1.0/avg_len)``, never ``doc_len/avg_len`` — x*(1/y) and
+x/y differ in the last ulp).
+
+Training-pipeline operators (dedup / fingerprinting / similarity) follow the
+same pattern, built on md5 (identical hex output in Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.weights import BM25Params
+from .operators.indexer import IndexTables, build_index
+from .operators.matcher import Matcher
+from .plans import query as Q
+
+K1, B = 1.0, 0.5  # BM25 defaults (weight.h:1128-1142); k2=0, k3=1, wqf=1
+ROUND = 6
+
+_CACHE: dict[str, tuple[IndexTables, Matcher]] = {}
+
+
+def get_matcher(spark: SparkSession, sf_dir: str) -> Matcher:
+    key = sf_dir
+    if key not in _CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ix = build_index(
+            spark,
+            docs,
+            id_col="doc_id",
+            content_col="text",
+            meta_cols=["lang", "source", "n_chars"],
+            mode="simple",
+            with_positions=True,
+        )
+        ix.postings = ix.postings.persist()
+        ix.docs = ix.docs.persist()
+        ix.dictionary = ix.dictionary.persist()
+        _CACHE[key] = (ix, Matcher(spark, ix))
+    return _CACHE[key][1]
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _topk(m: Matcher, q: Q.Query, k: int) -> DataFrame:
+    return (
+        m.matches(q)
+        .select("doc_id", F.round(F.col("weight"), ROUND).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL building blocks
+# --------------------------------------------------------------------------
+
+_PRELUDE = r"""
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents
+), tok0 AS (
+  SELECT doc_id, unnest(toks) AS term FROM arr
+), tok AS (
+  SELECT doc_id, term FROM tok0 WHERE term <> ''
+), post AS (
+  SELECT doc_id, term, count(*)::BIGINT AS wdf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, sum(wdf)::BIGINT AS doc_len FROM post GROUP BY 1
+), st AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         ((SELECT sum(doc_len) FROM dl)::DOUBLE
+            / (SELECT count(*) FROM documents)::DOUBLE) AS avg_len
+), tstat AS (
+  SELECT term, count(*)::BIGINT AS tf, sum(wdf)::BIGINT AS cf,
+         max(wdf)::INT AS wdf_max
+  FROM post GROUP BY 1
+)"""
+
+
+def _tw_cte(terms: list[str]) -> str:
+    """Per-term BM25 termweight CTE mirroring bm25_init exactly
+    (bm25weight.cc:46-128 with k1=1,k2=0,k3=1,b=0.5,wqf=1 → ln(tw)*2)."""
+    vals = ", ".join(f"('{t}', {i + 1})" for i, t in enumerate(terms))
+    return f"""
+, qt(term, ord) AS (VALUES {vals})
+, tw AS (
+  SELECT qt.term, qt.ord,
+         ln(CASE WHEN ((st.n - ts.tf + 0.5) / (ts.tf + 0.5)) < 2
+                 THEN ((st.n - ts.tf + 0.5) / (ts.tf + 0.5)) * 0.5 + 1
+                 ELSE ((st.n - ts.tf + 0.5) / (ts.tf + 0.5)) END) * 2.0 AS w,
+         (1.0 / st.avg_len) AS lf
+  FROM qt JOIN tstat ts ON ts.term = qt.term, st
+)"""
+
+
+# per-(doc,term) BM25 score (bm25weight.cc:166-178, k1=1 b=0.5)
+_SCORE = (
+    "tw.w * (post.wdf::DOUBLE / "
+    "((GREATEST(dl.doc_len * tw.lf, 0.5) * 0.5 + 0.5) + post.wdf::DOUBLE))"
+)
+
+_SCORED = f"""
+, scored AS (
+  SELECT post.doc_id, tw.ord, {_SCORE} AS s
+  FROM post JOIN tw ON post.term = tw.term JOIN dl ON dl.doc_id = post.doc_id
+)"""
+
+
+def _bm25_sql(terms: list[str], body: str) -> str:
+    return _PRELUDE + _tw_cte(terms) + _SCORED + body
+
+
+def _topk_body(k: int, having: str = "") -> str:
+    return f"""
+SELECT doc_id, round(sum(s), {ROUND}) AS score
+FROM scored GROUP BY doc_id {having}
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+# --------------------------------------------------------------------------
+# Query registry
+# --------------------------------------------------------------------------
+
+SPARK_QUERIES = {}
+ORACLE_SQL = {}
+
+
+def _register(name: str, fn, sql: str | None):
+    SPARK_QUERIES[name] = fn
+    if sql is not None:
+        ORACLE_SQL[name] = sql
+
+
+# ---- BM25 retrieval core -------------------------------------------------
+
+def _q_topk(query: Q.Query, k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _topk(get_matcher(spark, sf_dir), query, k)
+
+    return run
+
+
+_register(
+    "bm25_single_rare",
+    _q_topk(Q.Term("dup"), 100),
+    _bm25_sql(["dup"], _topk_body(100)),
+)
+_register(
+    "bm25_single_hot",  # tf > n/2 → the tw<2 adjustment branch
+    _q_topk(Q.Term("the"), 20),
+    _bm25_sql(["the"], _topk_body(20)),
+)
+_register(
+    "bm25_or2",
+    _q_topk(Q.Or([Q.Term("hash"), Q.Term("join")]), 20),
+    _bm25_sql(["hash", "join"], _topk_body(20)),
+)
+_register(
+    "bm25_or4",
+    _q_topk(Q.Or([Q.Term("hash"), Q.Term("join"), Q.Term("merge"), Q.Term("sort")]), 30),
+    _bm25_sql(["hash", "join", "merge", "sort"], _topk_body(30)),
+)
+_register(
+    "bm25_and",
+    _q_topk(Q.And([Q.Term("hash"), Q.Term("join")]), 20),
+    _bm25_sql(["hash", "join"], _topk_body(20, "HAVING count(*) = 2")),
+)
+_register(
+    "bm25_andnot",
+    _q_topk(Q.AndNot(Q.Term("hash"), Q.Term("dup")), 20),
+    _bm25_sql(
+        ["hash"],
+        f"""
+, neg AS (SELECT DISTINCT doc_id FROM post WHERE term = 'dup')
+SELECT s.doc_id, round(sum(s.s), {ROUND}) AS score
+FROM scored s WHERE s.doc_id NOT IN (SELECT doc_id FROM neg)
+GROUP BY s.doc_id ORDER BY score DESC, doc_id ASC LIMIT 20""",
+    ),
+)
+_register(
+    "bm25_filter",
+    _q_topk(Q.Filter(Q.Term("hash"), Q.Term("dup")), 50),
+    _bm25_sql(
+        ["hash"],
+        f"""
+SELECT s.doc_id, round(sum(s.s), {ROUND}) AS score
+FROM scored s WHERE s.doc_id IN (SELECT doc_id FROM post WHERE term = 'dup')
+GROUP BY s.doc_id ORDER BY score DESC, doc_id ASC LIMIT 50""",
+    ),
+)
+_register(
+    "bm25_andmaybe",
+    _q_topk(Q.AndMaybe(Q.Term("dup"), Q.Term("hash")), 50),
+    _bm25_sql(
+        ["dup", "hash"],
+        f"""
+SELECT a.doc_id,
+       round(a.s + coalesce(b.s, 0.0), {ROUND}) AS score
+FROM (SELECT doc_id, s FROM scored WHERE ord = 1) a
+LEFT JOIN (SELECT doc_id, s FROM scored WHERE ord = 2) b USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 50""",
+    ),
+)
+_register(
+    "bm25_xor",
+    _q_topk(Q.Xor([Q.Term("hash"), Q.Term("dup")]), 30),
+    _bm25_sql(["hash", "dup"], _topk_body(30, "HAVING count(*) % 2 = 1")),
+)
+_register(
+    "bm25_max",
+    _q_topk(Q.MaxOp([Q.Term("hash"), Q.Term("join")]), 20),
+    _bm25_sql(
+        ["hash", "join"],
+        f"""
+SELECT doc_id, round(max(s), {ROUND}) AS score
+FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20""",
+    ),
+)
+_register(
+    "bm25_synonym",
+    _q_topk(Q.Synonym([Q.Term("hash"), Q.Term("join")]), 20),
+    _PRELUDE
+    + f"""
+, merged AS (
+  SELECT post.doc_id, sum(post.wdf)::BIGINT AS wdf_sum, max(dl.doc_len) AS doc_len
+  FROM post JOIN dl ON dl.doc_id = post.doc_id
+  WHERE post.term IN ('hash', 'join') GROUP BY post.doc_id
+), syn_tf AS (SELECT count(*)::BIGINT AS tf FROM merged)
+, syn_w AS (
+  SELECT ln(CASE WHEN ((st.n - syn_tf.tf + 0.5) / (syn_tf.tf + 0.5)) < 2
+                 THEN ((st.n - syn_tf.tf + 0.5) / (syn_tf.tf + 0.5)) * 0.5 + 1
+                 ELSE ((st.n - syn_tf.tf + 0.5) / (syn_tf.tf + 0.5)) END) * 2.0 AS w,
+         (1.0 / st.avg_len) AS lf
+  FROM syn_tf, st
+)
+SELECT m.doc_id,
+  round(syn_w.w * (LEAST(m.wdf_sum, m.doc_len)::DOUBLE /
+    ((GREATEST(m.doc_len * syn_w.lf, 0.5) * 0.5 + 0.5)
+      + LEAST(m.wdf_sum, m.doc_len)::DOUBLE)), {ROUND}) AS score
+FROM merged m, syn_w
+ORDER BY score DESC, doc_id ASC LIMIT 20""",
+)
+_register(
+    "bm25_wildcard_or",
+    _q_topk(Q.Wildcard("s*", combiner="or"), 20),
+    _PRELUDE
+    + f"""
+, tw AS (
+  SELECT ts.term,
+         ln(CASE WHEN ((st.n - ts.tf + 0.5) / (ts.tf + 0.5)) < 2
+                 THEN ((st.n - ts.tf + 0.5) / (ts.tf + 0.5)) * 0.5 + 1
+                 ELSE ((st.n - ts.tf + 0.5) / (ts.tf + 0.5)) END) * 2.0 AS w,
+         (1.0 / st.avg_len) AS lf
+  FROM tstat ts, st WHERE ts.term LIKE 's%'
+)
+SELECT post.doc_id AS doc_id, round(sum({_SCORE}), {ROUND}) AS score
+FROM post JOIN tw ON post.term = tw.term JOIN dl ON dl.doc_id = post.doc_id
+GROUP BY post.doc_id ORDER BY score DESC, post.doc_id ASC LIMIT 20""",
+)
+
+_POSPRELUDE = r"""
+, tokpos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p FROM arr
+)"""
+
+_register(
+    "bm25_phrase_adjacent",
+    _q_topk(Q.Phrase([Q.Term("hash"), Q.Term("join")]), 50),
+    _bm25_sql(["hash", "join"], _POSPRELUDE)
+    + f"""
+, ok AS (
+  SELECT DISTINCT a.doc_id FROM tokpos a JOIN tokpos b
+  ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  WHERE a.term = 'hash' AND b.term = 'join'
+)
+SELECT doc_id, round(sum(s), {ROUND}) AS score
+FROM scored WHERE doc_id IN (SELECT doc_id FROM ok)
+GROUP BY doc_id HAVING count(*) = 2
+ORDER BY score DESC, doc_id ASC LIMIT 50""",
+)
+_register(
+    "bm25_near",
+    _q_topk(Q.Near([Q.Term("hash"), Q.Term("join")], window=4), 50),
+    _bm25_sql(["hash", "join"], _POSPRELUDE)
+    + f"""
+, ok AS (
+  SELECT DISTINCT a.doc_id FROM tokpos a JOIN tokpos b
+  ON a.doc_id = b.doc_id AND abs(a.p - b.p) < 4 AND a.p <> b.p
+  WHERE a.term = 'hash' AND b.term = 'join'
+)
+SELECT doc_id, round(sum(s), {ROUND}) AS score
+FROM scored WHERE doc_id IN (SELECT doc_id FROM ok)
+GROUP BY doc_id HAVING count(*) = 2
+ORDER BY score DESC, doc_id ASC LIMIT 50""",
+)
+
+
+def _q_value_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = get_matcher(spark, sf_dir)
+    q = Q.Filter(Q.Term("hash"), Q.ValueRange("n_chars", 100, 300))
+    return _topk(m, q, 50)
+
+
+_register(
+    "bm25_value_range_filter",
+    _q_value_filter,
+    _bm25_sql(
+        ["hash"],
+        f"""
+SELECT s.doc_id, round(sum(s.s), {ROUND}) AS score
+FROM scored s
+WHERE s.doc_id IN (SELECT doc_id FROM documents WHERE n_chars BETWEEN 100 AND 300)
+GROUP BY s.doc_id ORDER BY score DESC, doc_id ASC LIMIT 50""",
+    ),
+)
+
+
+def _q_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = get_matcher(spark, sf_dir)
+    n = m.count_matches(Q.And([Q.Term("hash"), Q.Term("join")]))
+    return spark.createDataFrame([(n,)], "matches long")
+
+
+_register(
+    "match_count_and",
+    _q_match_count,
+    _PRELUDE
+    + """
+SELECT count(*)::BIGINT AS matches FROM (
+  SELECT doc_id FROM post WHERE term IN ('hash', 'join')
+  GROUP BY doc_id HAVING count(*) = 2
+)""",
+)
+
+
+def _q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = get_matcher(spark, sf_dir)
+    s = m.index.stats
+    return spark.createDataFrame(
+        [(s["doccount"], s["total_length"], round(s["avg_length"], ROUND))],
+        "doccount long, total_length long, avg_length double",
+    )
+
+
+_register(
+    "collection_stats",
+    _q_collection_stats,
+    _PRELUDE
+    + f"""
+SELECT st.n AS doccount, (SELECT sum(doc_len)::BIGINT FROM dl) AS total_length,
+       round(st.avg_len, {ROUND}) AS avg_length
+FROM st""",
+)
+
+_DICT_TERMS = ("hash", "join", "dup", "the", "scan")
+
+
+def _q_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = get_matcher(spark, sf_dir)
+    return (
+        m.index.dictionary.filter(F.col("term").isin(list(_DICT_TERMS)))
+        .select("term", "termfreq", "collfreq", F.col("wdf_max").cast("int"))
+        .orderBy("term")
+    )
+
+
+_register(
+    "dictionary_stats",
+    _q_dictionary,
+    _PRELUDE
+    + f"""
+SELECT term, tf AS termfreq, cf AS collfreq, wdf_max
+FROM tstat WHERE term IN {_DICT_TERMS!r} ORDER BY term""",
+)
+
+
+def _q_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapser analog (matcher/collapser.cc): best doc per lang key."""
+    from pyspark.sql import Window
+
+    m = get_matcher(spark, sf_dir)
+    scored = m.matches(Q.Or([Q.Term("hash"), Q.Term("join")])).select(
+        "doc_id", F.round("weight", ROUND).alias("score")
+    )
+    docs = m.index.docs.select("doc_id", "lang")
+    j = scored.join(docs, "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("lang", "doc_id", "score")
+        .orderBy("lang")
+    )
+
+
+_register(
+    "collapse_best_per_lang",
+    _q_collapse,
+    _bm25_sql(
+        ["hash", "join"],
+        f"""
+, persum AS (
+  SELECT doc_id, round(sum(s), {ROUND}) AS score FROM scored GROUP BY doc_id
+), ranked AS (
+  SELECT d.lang, p.doc_id, p.score,
+         row_number() OVER (PARTITION BY d.lang ORDER BY p.score DESC, p.doc_id ASC) AS rn
+  FROM persum p JOIN documents d USING (doc_id)
+)
+SELECT lang, doc_id, score FROM ranked WHERE rn = 1 ORDER BY lang""",
+    ),
+)
+
+
+def _q_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ValueCountMatchSpy analog (include/xapian/matchspy.h:49-205)."""
+    m = get_matcher(spark, sf_dir)
+    matched = m.matches(Q.And([Q.Term("hash"), Q.Term("join")])).select("doc_id")
+    docs = m.index.docs.select("doc_id", "lang")
+    return (
+        matched.join(docs, "doc_id").groupBy("lang").agg(F.count("*").alias("cnt")).orderBy("lang")
+    )
+
+
+_register(
+    "facet_lang",
+    _q_facet,
+    _PRELUDE
+    + """
+, m AS (
+  SELECT doc_id FROM post WHERE term IN ('hash', 'join')
+  GROUP BY doc_id HAVING count(*) = 2
+)
+SELECT d.lang, count(*)::BIGINT AS cnt
+FROM m JOIN documents d USING (doc_id) GROUP BY d.lang ORDER BY d.lang""",
+)
+
+
+# ---- Training-data pipeline ops -------------------------------------------
+
+_SHINGLE_SQL = r"""
+, tokpos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p FROM arr
+), sh AS (
+  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
+  FROM tokpos a JOIN tokpos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                JOIN tokpos c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+)"""
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_duplicates
+
+    return exact_duplicates(_documents(spark, sf_dir), "doc_id", "text")
+
+
+_register(
+    "dedup_exact",
+    _q_dedup_exact,
+    """
+SELECT md5(text) AS content_hash, count(*)::BIGINT AS cnt,
+       min(doc_id)::BIGINT AS min_doc
+FROM documents GROUP BY 1 HAVING count(*) > 1""",
+)
+
+
+def _q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import fingerprints
+
+    fp = fingerprints(_documents(spark, sf_dir))
+    return (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("cnt"), F.min("doc_id").alias("min_doc"))
+        .filter("cnt > 1")
+    )
+
+
+_register(
+    "dedup_fingerprint_groups",
+    _q_dedup_fingerprint,
+    _PRELUDE
+    + """
+, dtok AS (SELECT DISTINCT doc_id, term FROM tok)
+, fp AS (
+  SELECT doc_id, md5(string_agg(term, ' ' ORDER BY term)) AS fp
+  FROM dtok GROUP BY doc_id
+)
+SELECT fp, count(*)::BIGINT AS cnt, min(doc_id)::BIGINT AS min_doc
+FROM fp GROUP BY fp HAVING count(*) > 1""",
+)
+
+
+def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs, shingles
+
+    sh = shingles(_documents(spark, sf_dir), w=3)
+    return ngram_jaccard_pairs(sh, threshold=0.8, round_digits=ROUND)
+
+
+_register(
+    "dedup_shingle_jaccard",
+    _q_jaccard,
+    _PRELUDE
+    + _SHINGLE_SQL
+    + f"""
+, sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+, inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*)::BIGINT AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, round(i::DOUBLE / (s1.n + s2.n - i)::DOUBLE, {ROUND}) AS jac
+FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+WHERE round(i::DOUBLE / (s1.n + s2.n - i)::DOUBLE, {ROUND}) >= 0.8""",
+)
+
+
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_candidate_pairs, minhash_signatures, shingles
+
+    sh = shingles(_documents(spark, sf_dir), w=3)
+    sig = minhash_signatures(sh, n_hashes=8)
+    return minhash_candidate_pairs(sig, n_hashes=8, bands=2)
+
+
+_MINHASH_COLS = ",\n  ".join(
+    f"min(md5('{s}:' || shingle)) AS h{s}" for s in range(1, 9)
+)
+_register(
+    "dedup_minhash_lsh",
+    _q_minhash,
+    _PRELUDE
+    + _SHINGLE_SQL
+    + f"""
+, sig AS (
+  SELECT doc_id,
+  {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+), b1 AS (SELECT doc_id, h1 || '|' || h2 || '|' || h3 || '|' || h4 AS bk FROM sig),
+  b2 AS (SELECT doc_id, h5 || '|' || h6 || '|' || h7 || '|' || h8 AS bk FROM sig),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2 FROM b1 a JOIN b1 b
+    ON a.bk = b.bk AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id AS d1, b.doc_id AS d2 FROM b2 a JOIN b2 b
+    ON a.bk = b.bk AND a.doc_id < b.doc_id
+)
+SELECT d1::BIGINT AS d1, d2::BIGINT AS d2 FROM pairs""",
+)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import shingles, simhash16
+
+    sh = shingles(_documents(spark, sf_dir), w=3)
+    return simhash16(sh)
+
+
+_SIMHASH_SUMS = ",\n  ".join(
+    f"sum(CASE WHEN substring(md5(shingle), {i}, 1) < '8' THEN -1 ELSE 1 END) AS s{i}"
+    for i in range(1, 17)
+)
+_SIMHASH_FP = " + ".join(
+    f"(CASE WHEN s{i} > 0 THEN {1 << (i - 1)} ELSE 0 END)" for i in range(1, 17)
+)
+_register(
+    "simhash_fingerprint",
+    _q_simhash,
+    _PRELUDE
+    + _SHINGLE_SQL
+    + f"""
+, sums AS (
+  SELECT doc_id,
+  {_SIMHASH_SUMS}
+  FROM sh GROUP BY doc_id
+)
+SELECT doc_id, ({_SIMHASH_FP})::BIGINT AS fp FROM sums""",
+)
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import text_quality
+
+    return text_quality(_documents(spark, sf_dir), round_digits=ROUND)
+
+
+_register(
+    "text_quality",
+    _q_text_quality,
+    _PRELUDE
+    + f"""
+, per AS (
+  SELECT doc_id,
+         sum(wdf)::BIGINT AS n_tokens,
+         count(*)::BIGINT AS n_distinct,
+         sum(CASE WHEN term IN ('the','a','of','and','in','to','is')
+                  THEN wdf ELSE 0 END)::BIGINT AS n_stop,
+         sum(wdf * length(term))::BIGINT AS total_chars
+  FROM post GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       round(n_distinct::DOUBLE / n_tokens::DOUBLE, {ROUND}) AS distinct_ratio,
+       round(n_stop::DOUBLE / n_tokens::DOUBLE, {ROUND}) AS stop_ratio,
+       round(total_chars::DOUBLE / n_tokens::DOUBLE, {ROUND}) AS avg_token_len
+FROM per""",
+)
+
+
+# ---- Similarity search -----------------------------------------------------
+
+def _qvec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _embeddings(spark, sf_dir)
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import brute_force_topk
+
+    return brute_force_topk(
+        _embeddings(spark, sf_dir), _qvec(spark, sf_dir), k=10, round_digits=4
+    )
+
+
+_register(
+    "ann_cosine_topk",
+    _q_ann_brute,
+    """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+  FROM embeddings e, q
+)
+SELECT vec_id,
+       round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos
+FROM pairs GROUP BY vec_id
+ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_bucketed_topk
+
+    return lsh_bucketed_topk(
+        _embeddings(spark, sf_dir), _qvec(spark, sf_dir), k=10, round_digits=4
+    )
+
+
+# approximate by construction → no SQL oracle (driver records rows-only)
+_register("ann_lsh_topk", _q_ann_lsh, None)

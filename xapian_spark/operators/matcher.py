@@ -197,6 +197,15 @@ class Matcher:
         matched = self._eval(q, factor=1.0)
         return matched.orderBy(F.desc("weight"), F.asc("doc_id")).limit(k)
 
+    def matches(self, q: Q.Query) -> DataFrame:
+        """All matching docs, unranked: DF(doc_id, weight). The building
+        block for top-k, faceting, collapsing and counting."""
+        q = Q.normalize(q)
+        if isinstance(q, Q.MatchNothing):
+            return self._empty()
+        self._leaf_counter = 0
+        return self._eval(q, factor=1.0)
+
     def count_matches(self, q: Q.Query) -> int:
         q = Q.normalize(q)
         if isinstance(q, Q.MatchNothing):
