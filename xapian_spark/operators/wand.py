@@ -1,0 +1,209 @@
+"""Block-max WAND top-k for OR-of-terms queries — the reference's
+maxweight-pruning machinery (matcher/postlisttree.h:131-190,
+weight/bm25weight.cc:180-202, after Macdonald/Tonellotto/Ounis 2011)
+re-expressed at posting-BLOCK granularity as DataFrame plans.
+
+Exactness argument (why pruned results equal the exhaustive ranking):
+
+1. θ is always a LOWER bound on the true k-th best total score (it is the
+   k-th best of exactly-computed partial scores, and totals ≥ partials).
+2. A block b of term t is pruned only when
+      bound(b) + Σ_{t'≠t} M_{t'}  <  θ      (strictly)
+   where bound(b) = maxpart evaluated at (max_wdf_b, min_doclen_b) and
+   M_{t'} is term t''s global maxpart.  Any doc d appearing ONLY in pruned
+   blocks has, for the block b_t(d) of any term t it matches,
+      score(d) ≤ bound(b_t(d)) + Σ_{t'≠t} M_{t'} < θ ≤ k-th score,
+   so d is strictly worse than k docs and cannot enter the top-k under any
+   tie-break.
+3. Docs seen in surviving blocks may still have contributions hiding in
+   pruned blocks, so before ranking, candidates with
+      partial(d) + Σ_{t ∉ seen(d)} M_t ≥ θ'
+   (θ' = k-th best partial) are rescored EXACTLY against the pruned blocks
+   whose docid range covers them (block ranges make this a cheap
+   exists-filter).  Docs failing that bound satisfy total(d) < θ' ≤ k-th
+   total → safe to drop.
+
+The win at 10^12 scale: hot-term posting lists (10^11 postings) are decoded
+only for the handful of blocks whose block-max can still beat θ; everything
+else is skipped from parquet metadata alone (n/max_wdf/min_doclen columns —
+no binary columns read).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.weights import BM25Params, BM25Term
+from .matcher import decode_blocks
+
+
+def _bound_col(params: BM25Params, tw_col, lf_col, max_wdf, min_doclen):
+    """Block-level maxpart as a Column expression (bm25weight.cc:180-202
+    evaluated at the block's max_wdf / min_doclen)."""
+    p = params
+    wdf = max_wdf.cast("double")
+    denom = F.lit(p.k1)
+    if p.k1 != 0.0 and p.b != 0.0:
+        normlen_lb = F.greatest(
+            F.greatest(wdf, min_doclen.cast("double")) * lf_col, F.lit(p.min_normlen)
+        )
+        denom = denom * (normlen_lb * F.lit(p.b) + F.lit(1 - p.b))
+    denom = denom + wdf
+    return tw_col * (wdf / denom)
+
+
+def wand_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    term_weights: dict[str, BM25Term],
+    term_stats: dict[str, tuple[int, int, int]],
+    doclen_lower_bound: int,
+    k: int,
+    params: BM25Params,
+    probe_blocks_per_term: int = 4,
+) -> DataFrame:
+    """Exact top-k (doc_id, weight) for OR over ``term_weights`` keys.
+
+    ``postings``: the full blocks table (will be filtered on term — parquet
+    predicate pushdown + metadata-only column pruning for the bound pass).
+    """
+    terms = sorted(term_weights)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, weight double")
+
+    # per-term constants → tiny broadcast lookup
+    consts = spark.createDataFrame(
+        [
+            (
+                t,
+                term_weights[t].termweight,
+                term_weights[t].len_factor,
+                term_weights[t].maxpart(term_stats[t][2], doclen_lower_bound),
+            )
+            for t in terms
+        ],
+        "term string, tw double, lf double, gmax double",
+    )
+    total_gmax = float(sum(term_weights[t].maxpart(term_stats[t][2], doclen_lower_bound) for t in terms))
+
+    meta = (
+        postings.filter(F.col("term").isin(terms))
+        .select(
+            "term", "block_no", "n", "max_wdf", "min_doclen", "first_docid", "last_docid"
+        )
+        .join(F.broadcast(consts), "term")
+        .withColumn(
+            "bound",
+            _bound_col(params, F.col("tw"), F.col("lf"), F.col("max_wdf"), F.col("min_doclen")),
+        )
+        # rest = best any doc in this block could gain from the OTHER terms
+        .withColumn("rest", F.lit(total_gmax) - F.col("gmax"))
+    ).persist()
+
+    # ---- Phase 1: θ from the densest/highest-bound few blocks per term ----
+    w = Window.partitionBy("term").orderBy(F.desc("bound"), F.asc("block_no"))
+    probe_keys = (
+        meta.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= probe_blocks_per_term)
+        .select("term", "block_no")
+    )
+    probe_blocks = postings.join(F.broadcast(probe_keys), ["term", "block_no"], "left_semi")
+    probe_scores = _score_decoded(probe_blocks, consts, params)
+    kth = (
+        probe_scores.groupBy("doc_id")
+        .agg(F.sum("s").alias("p"))
+        .orderBy(F.desc("p"))
+        .limit(k)
+        .collect()
+    )
+    theta = float(kth[-1]["p"]) if len(kth) >= k else float("-inf")
+
+    # Exclusion decisions must be conservative under float64 noise: the
+    # upper bounds are sums whose summation order differs between the
+    # driver (total_gmax) and executors (seen_gmax/rest), so two
+    # mathematically-equal quantities can differ by an ulp.  Slack all
+    # "cannot beat θ" comparisons by a relative epsilon.
+    eps = 1e-9 * (1.0 + abs(total_gmax))
+
+    # ---- Phase 2: prune blocks that cannot beat θ ----
+    if math.isfinite(theta):
+        surviving_keys = meta.filter(
+            F.col("bound") + F.col("rest") >= F.lit(theta - eps)
+        ).select("term", "block_no")
+    else:
+        surviving_keys = meta.select("term", "block_no")
+    surv_blocks = postings.join(
+        F.broadcast(surviving_keys), ["term", "block_no"], "left_semi"
+    )
+    partials = (
+        _score_decoded(surv_blocks, consts, params)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("s").alias("partial"),
+            F.sum("gmax").alias("seen_gmax"),
+        )
+    ).persist()
+
+    # θ' = k-th best partial (tighter than θ)
+    kth2 = partials.orderBy(F.desc("partial")).limit(k).collect()
+    theta2 = float(kth2[-1]["partial"]) if len(kth2) >= k else float("-inf")
+
+    # candidates possibly in top-k: partial + missing-terms bound ≥ θ'
+    # (missing bound clamped at 0: a doc seen in every term has nothing to
+    # gain, even if the two float sums disagree by an ulp)
+    cand = partials.filter(
+        F.col("partial")
+        + F.greatest(F.lit(total_gmax) - F.col("seen_gmax"), F.lit(0.0))
+        >= F.lit(theta2 - eps)
+    )
+    cand_rows = cand.select("doc_id", "partial").collect()
+    cand_ids = [r["doc_id"] for r in cand_rows]
+
+    # ---- Phase 3: exact rescore of candidates against PRUNED blocks whose
+    # docid range covers them (cheap: block metadata exists-filter) ----
+    if math.isfinite(theta) and cand_ids:
+        pruned_keys = meta.filter(
+            F.col("bound") + F.col("rest") < F.lit(theta - eps)
+        ).select("term", "block_no", "first_docid", "last_docid")
+        ids_arr = F.array(*[F.lit(int(i)) for i in sorted(cand_ids)])
+        touching = pruned_keys.filter(
+            F.exists(
+                ids_arr,
+                lambda c: (c >= F.col("first_docid")) & (c <= F.col("last_docid")),
+            )
+        ).select("term", "block_no")
+        extra_blocks = postings.join(F.broadcast(touching), ["term", "block_no"], "left_semi")
+        extra = (
+            _score_decoded(extra_blocks, consts, params)
+            .filter(F.col("doc_id").isin(cand_ids))
+            .groupBy("doc_id")
+            .agg(F.sum("s").alias("extra"))
+        )
+        exact = (
+            cand.join(extra, "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.col("partial") + F.coalesce(F.col("extra"), F.lit(0.0))).alias("weight"),
+            )
+        )
+    else:
+        exact = cand.select("doc_id", F.col("partial").alias("weight"))
+
+    meta.unpersist()
+    return exact.orderBy(F.desc("weight"), F.asc("doc_id")).limit(k)
+
+
+def _score_decoded(blocks: DataFrame, consts: DataFrame, params: BM25Params) -> DataFrame:
+    """Decode blocks → per-posting BM25 sumpart Column (bm25weight.cc:166-178)."""
+    p = params
+    dec = decode_blocks(blocks).join(F.broadcast(consts), "term")
+    normlen = F.greatest(F.col("doc_len").cast("double") * F.col("lf"), F.lit(p.min_normlen))
+    denom = F.lit(p.k1) * (normlen * F.lit(p.b) + F.lit(1 - p.b)) + F.col("wdf").cast("double")
+    return dec.select(
+        "doc_id",
+        "gmax",
+        (F.col("tw") * (F.col("wdf").cast("double") / denom)).alias("s"),
+    )
