@@ -35,6 +35,18 @@ def _mk_spark(cpus: int):
     return spark
 
 
+def _cpu_jiffies():
+    """System-wide (busy, idle) jiffies — used to measure the cores a leg
+    ACTUALLY consumes.  local[N] bounds task slots, not JVM GC/IO threads or
+    Python daemons, so a local[2] run typically burns ~2.5 cores; per-busy-
+    core throughput is the honest single-box scaling metric (see
+    BENCH/BASELINE.md)."""
+    with open("/proc/stat") as f:
+        vals = list(map(int, f.readline().split()[1:]))
+    idle = vals[3] + vals[4]
+    return sum(vals), idle
+
+
 def build_only(cpus: int, n_docs: int, seed: int = 42) -> dict:
     """Index-build throughput over the deterministic synthetic corpus."""
     from xapian_spark.operators.indexer import build_index
@@ -47,10 +59,13 @@ def build_only(cpus: int, n_docs: int, seed: int = 42) -> dict:
     ).persist()
     corpus.count()  # materialize generation outside the timed section
     out = tempfile.mkdtemp(prefix="xsb_")
+    j0, i0 = _cpu_jiffies()
     t0 = time.perf_counter()
     ix = build_index(spark, corpus, content_col="content", meta_cols=["repo", "lang"])
     save_index(ix, out)
     dt = time.perf_counter() - t0
+    j1, i1 = _cpu_jiffies()
+    busy_sec = ((j1 - j0) - (i1 - i0)) / 100.0
     n_blocks = spark.read.parquet(f"{out}/postings").count()
     shutil.rmtree(out, ignore_errors=True)
     spark.stop()
@@ -59,6 +74,9 @@ def build_only(cpus: int, n_docs: int, seed: int = 42) -> dict:
         "docs": n_docs,
         "seconds": round(dt, 3),
         "docs_per_sec": round(n_docs / dt, 1),
+        "busy_core_sec": round(busy_sec, 1),
+        "avg_cores_busy": round(busy_sec / dt, 2),
+        "docs_per_core_sec": round(n_docs / busy_sec, 1) if busy_sec > 0 else None,
         "blocks": n_blocks,
     }
 
@@ -149,7 +167,13 @@ def full(cpus: int, sf_dir: str, scale_docs: int, do_scaling: bool) -> dict:
             scaling[f"local[{c}]"] = json.loads(line)
         t8 = scaling["local[8]"]["seconds"]
         t32 = scaling["local[32]"]["seconds"]
-        scaling["efficiency_8_to_32"] = round((t8 / t32) / 4.0, 3)
+        scaling["efficiency_8_to_32_wallclock"] = round((t8 / t32) / 4.0, 3)
+        a = scaling["local[8]"].get("docs_per_core_sec")
+        b = scaling["local[32]"].get("docs_per_core_sec")
+        if a and b:
+            # per-actually-busy-core throughput ratio: the resource-normalized
+            # efficiency (local[N] bounds task slots, not JVM/daemon threads)
+            scaling["efficiency_per_busy_core"] = round(b / a, 3)
         result["scaling"] = scaling
 
     result["value"] = round(time.perf_counter() - t_start, 3)
@@ -163,7 +187,7 @@ def main():
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
-    ap.add_argument("--scale-docs", type=int, default=60000)
+    ap.add_argument("--scale-docs", type=int, default=160000)
     args = ap.parse_args()
 
     if args.build_only:

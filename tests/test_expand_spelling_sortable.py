@@ -1,0 +1,87 @@
+"""ESet/Bo1 expansion, spelling suggestion, sortable_serialise parity."""
+
+import math
+import random
+import struct
+
+import pytest
+
+
+def test_eset_bo1_matches_oracle(spark, index, oracle):
+    from xapian_spark.operators.expand import eset_bo1, eset_bo1_oracle
+
+    rset = [1, 2, 3, 10, 57]
+    got = [(r["term"], r["wt"]) for r in eset_bo1(spark, index, rset, 10).collect()]
+    want = eset_bo1_oracle(oracle.ix, rset, 10)
+    assert [t for t, _ in got] == [t for t, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert abs(a - b) < 1e-9
+
+
+def test_eset_excludes_terms(spark, index, oracle):
+    from xapian_spark.operators.expand import eset_bo1, eset_bo1_oracle
+
+    rset = [1, 2, 3]
+    excl = [t for t, _ in eset_bo1_oracle(oracle.ix, rset, 2)]
+    got = [r["term"] for r in eset_bo1(spark, index, rset, 10, exclude_terms=excl).collect()]
+    assert not (set(got) & set(excl))
+
+
+def test_spelling_suggestion(spark, index, oracle):
+    from xapian_spark.operators.spelling import (
+        edit_distance,
+        suggest,
+        suggest_exhaustive,
+        trigram_table,
+    )
+
+    tri = trigram_table(index.dictionary).persist()
+    # typo one edit from a real indexed term
+    assert suggest(spark, index, "binary_saerch", trigrams=tri) == "binary_search"
+    assert suggest(spark, index, "retrun", trigrams=tri) == "return"
+    # no suggestion for garbage beyond max distance
+    assert suggest(spark, index, "qqqqqqqq", trigrams=tri) is None
+    # exhaustive path agrees on the pick (OSA metric)
+    row = suggest_exhaustive(spark, index, "retrun").collect()[0]
+    assert row["term"] == "return" and row["dist"] == edit_distance("retrun", "return")
+    tri.unpersist()
+
+
+def test_edit_distance_reference_cases():
+    from xapian_spark.operators.spelling import edit_distance as d
+
+    assert d("", "") == 0
+    assert d("abc", "abc") == 0
+    assert d("abc", "acb") == 1  # transposition = 1 (OSA)
+    assert d("hsah", "hash") == 1
+    assert d("abc", "") == 3
+    assert d("kitten", "sitting") == 3
+
+
+def test_sortable_serialise_roundtrip_and_order():
+    from xapian_spark.functions.sortable import (
+        sortable_serialise as S,
+        sortable_unserialise as U,
+    )
+
+    vals = [0.0, 1.0, -1.0, 0.5, -0.5, 3.14159, -2.71828, 1e300, -1e300,
+            1e-300, -1e-300, math.inf, -math.inf, 7.0, 8.0]
+    rng = random.Random(11)
+    for _ in range(5000):
+        vals.append(struct.unpack("d", struct.pack("Q", rng.getrandbits(64)))[0])
+    fin = [v for v in vals if not math.isnan(v)]
+    for v in fin:
+        got = U(S(v))
+        assert got == v or (math.isinf(v) and math.isinf(got) and (v > 0) == (got > 0))
+    ordered = sorted({v for v in fin if math.isfinite(v)})
+    enc = [S(v) for v in ordered]
+    assert all(a < b for a, b in zip(enc, enc[1:]))
+
+
+def test_sortable_known_bytes():
+    # zero encodes as a single 0x80 byte; -inf empty; +inf nine 0xff
+    from xapian_spark.functions.sortable import sortable_serialise as S
+
+    assert S(0.0) == b"\x80"
+    assert S(-math.inf) == b""
+    assert S(math.inf) == b"\xff" * 9

@@ -1,0 +1,121 @@
+"""Segments / incremental freshness / compaction + multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import assert_mset_equal
+from xapian_spark.operators.matcher import Matcher
+from xapian_spark.plans import query as Q
+from xapian_spark.streaming.freshness import MultiIndex, append_segment, compact
+
+QUERY = Q.Or([Q.Term("binary_search"), Q.Term("return"), Q.Term("error")])
+
+
+def test_segmented_equals_monolithic(spark, corpus, oracle, tmp_path):
+    """Two segments unioned with GLOBAL stats must score exactly like a
+    single from-scratch index (shard-invariance, matcher.cc:313-336)."""
+    root = str(tmp_path / "segs")
+    append_segment(spark, root, corpus.filter("doc_id % 2 = 0"), "0", meta_cols=["lang"])
+    append_segment(spark, root, corpus.filter("doc_id % 2 = 1"), "1", meta_cols=["lang"])
+    ix = MultiIndex(spark, root).load()
+    m = Matcher(spark, ix)
+    assert_mset_equal(m.mset_df(QUERY, 10).collect(), oracle.mset(QUERY, 10))
+
+
+def test_delete_then_compact(spark, corpus, oracle, tmp_path):
+    """Tombstone semantics: a deleted doc disappears from results
+    immediately; per-TERM statistics stay stale until compaction (the
+    Lucene-style trade — the reference instead rewrites postings at commit,
+    glass_database.cc:1150+).  Post-compaction, scores must equal a
+    from-scratch index that never contained the doc."""
+    from tests.conftest import N_DOCS, assert_mset_equal
+    from xapian_spark.oracle import OracleMatcher, build_oracle_index
+    from xapian_spark.sources.corpus import generate_corpus
+
+    root = str(tmp_path / "segs2")
+    append_segment(spark, root, corpus, "0", meta_cols=["lang"])
+    mi = MultiIndex(spark, root)
+    top = oracle.mset(QUERY, 3)
+    victim = top[0][0]
+    mi.delete_documents([victim])
+    ix = mi.load()
+    m = Matcher(spark, ix)
+    got = [r["doc_id"] for r in m.mset_df(QUERY, 10).collect()]
+    assert victim not in got
+    assert ix.stats["doccount"] == oracle.ix.doccount - 1
+    # compaction removes the doc physically AND restores exact statistics
+    out = str(tmp_path / "compacted")
+    cix = compact(spark, root, out)
+    assert cix.stats["doccount"] == oracle.ix.doccount - 1
+    from xapian_spark.operators.matcher import decode_blocks
+
+    assert decode_blocks(cix.postings).filter(F.col("doc_id") == victim).count() == 0
+    oracle_wo = OracleMatcher(
+        build_oracle_index(
+            [
+                (i + 1, r[4])
+                for i, r in enumerate(generate_corpus(N_DOCS))
+                if i + 1 != victim
+            ]
+        )
+    )
+    m2 = Matcher(spark, cix)
+    assert_mset_equal(m2.mset_df(QUERY, 10).collect(), oracle_wo.mset(QUERY, 10))
+
+
+def test_streaming_foreachbatch(spark, corpus, tmp_path):
+    """Structured Streaming path: file stream → foreachBatch segments."""
+    import os
+
+    from xapian_spark.streaming.freshness import stream_into_index
+
+    src = str(tmp_path / "in")
+    corpus.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    )
+    root = str(tmp_path / "segroot")
+    q = stream_into_index(
+        stream, root, str(tmp_path / "ckpt"), meta_cols=["lang"], trigger_once=True
+    )
+    q.awaitTermination(120)
+    segs = [d for d in os.listdir(root) if d.startswith("seg-")]
+    assert segs
+    ix = MultiIndex(spark, root).load()
+    assert ix.stats["doccount"] == corpus.count()
+
+
+def test_multimodal_pipeline(spark):
+    from xapian_spark.operators.multimodal import (
+        extract_features,
+        fake_decoder,
+        frame_sample_plan,
+        real_decoder,
+        synthetic_media_df,
+    )
+
+    media = synthetic_media_df(spark, 30)
+    feats = extract_features(media, decoder=fake_decoder)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["feature"]) == 16 for r in rows)
+    # deterministic across runs
+    again = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    for r in rows:
+        assert again[r["media_id"]] == r["feature"]
+    # frame sampling plan never reads the payload column (column pruning —
+    # assert on the parquet ReadSchema, where pruning actually happens)
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    media.write.mode("overwrite").parquet(d)
+    media_pq = spark.read.parquet(d)
+    plan = frame_sample_plan(media_pq, every_ms=1000)
+    explained = plan._jdf.queryExecution().executedPlan().toString()
+    read_schema = [l for l in explained.splitlines() if "ReadSchema" in l]
+    assert read_schema and all("payload" not in l for l in read_schema)
+    n_video = media_pq.filter("kind = 'video'").count()
+    assert plan.select("media_id").distinct().count() == n_video
+    # the real decoder is a clearly-marked stub
+    with pytest.raises(NotImplementedError):
+        real_decoder(b"x", "image", "image/png")

@@ -670,3 +670,55 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # approximate by construction → no SQL oracle (driver records rows-only)
 _register("ann_lsh_topk", _q_ann_lsh, None)
+
+
+# ---- Relevance expansion (ESet/Bo1) + spelling ------------------------------
+
+_RSET = tuple(range(10))  # fixed deterministic relevance set
+
+
+def _q_eset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.expand import eset_bo1
+
+    m = get_matcher(spark, sf_dir)
+    df = eset_bo1(spark, m.index, list(_RSET), maxitems=10)
+    return df.select("term", F.round("wt", ROUND).alias("wt"))
+
+
+_register(
+    "eset_bo1",
+    _q_eset,
+    _PRELUDE
+    + f"""
+, rset(doc_id) AS (VALUES {', '.join(f'({i})' for i in _RSET)})
+, cand AS (
+  SELECT p.term, sum(p.wdf)::BIGINT AS rcollfreq
+  FROM post p JOIN rset r ON p.doc_id = r.doc_id GROUP BY p.term
+)
+SELECT c.term,
+       round(c.rcollfreq::DOUBLE * (ln((1.0 + ts.cf::DOUBLE / st.n) / (ts.cf::DOUBLE / st.n)) / ln(2.0))
+             + ln(1.0 + ts.cf::DOUBLE / st.n) / ln(2.0), {ROUND}) AS wt
+FROM cand c JOIN tstat ts ON ts.term = c.term, st
+ORDER BY wt DESC, c.term ASC LIMIT 10""",
+)
+
+
+def _q_spell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.spelling import suggest_exhaustive
+
+    m = get_matcher(spark, sf_dir)
+    return suggest_exhaustive(spark, m.index, "hsah", metric="levenshtein").select(
+        "term", "dist", "freq"
+    )
+
+
+_register(
+    "spell_suggest",
+    _q_spell,
+    _PRELUDE
+    + """
+SELECT term, levenshtein('hsah', term)::INT AS dist, tf AS freq
+FROM tstat
+WHERE term <> 'hsah' AND levenshtein('hsah', term) <= 2
+ORDER BY dist ASC, freq DESC, term ASC LIMIT 1""",
+)

@@ -115,3 +115,177 @@ def bm25_init(
         if len_factor != 0:
             len_factor = 1 / len_factor
     return BM25Term(termweight=termweight, len_factor=len_factor, params=p)
+
+
+# ---------------------------------------------------------------------------
+# Pluggable weighting schemes (reference surface: include/xapian/weight.h
+# :38-2231 — 19 schemes; implemented here: bm25, trad, tfidf, coord, bool).
+# A scheme's init() returns a TermWeight with float64 sumpart / Column
+# sumpart_col / WAND maxpart, mirroring Weight::init + get_sumpart +
+# get_maxpart.
+# ---------------------------------------------------------------------------
+
+
+class TermWeight:
+    """Initialized per-term state; subclasses implement the three hooks."""
+
+    def sumpart(self, wdf: float, doc_len: float) -> float:
+        raise NotImplementedError
+
+    def sumpart_col(self, wdf: Column, doc_len: Column) -> Column:
+        raise NotImplementedError
+
+    def maxpart(self, wdf_max: int, doclen_lower_bound: int) -> float:
+        raise NotImplementedError
+
+
+class BM25Scheme:
+    """Default scheme (api/enquire.cc:276-277 uses BM25Weight)."""
+
+    name = "bm25"
+
+    def __init__(self, params: BM25Params = BM25Params()):
+        self.params = params
+
+    def init(self, termfreq, collfreq, stats, wqf=1, factor=1.0):
+        return bm25_init(
+            termfreq=termfreq,
+            collection_size=stats["doccount"],
+            average_length=stats["avg_length"],
+            wqf=wqf,
+            factor=factor,
+            params=self.params,
+        )
+
+
+class TradScheme(BM25Scheme):
+    """TradWeight(k) ≡ BM25Weight(k, 0, 0, 1, 0) (weight.h:1292-1309)."""
+
+    name = "trad"
+
+    def __init__(self, k: float = 1.0):
+        super().__init__(BM25Params(k1=k, k2=0.0, k3=1.0, b=1.0, min_normlen=0.0))
+
+
+@dataclass
+class _TfIdfTerm(TermWeight):
+    idfn: float
+    wqf_factor: float
+    wdf_norm: str
+    avg_len: float
+
+    def _wdfn(self, wdf: float, doc_len: float) -> float:
+        # tfidfweight.cc:228-285 (uniqterms-based norms not supported — the
+        # block layout stores doclen, not uniqterms; documented gap)
+        w = self.wdf_norm
+        if w == "none":
+            return float(wdf)
+        if wdf == 0:
+            return 0.0
+        if w == "boolean":
+            return 1.0
+        if w == "square":
+            return float(wdf) * float(wdf)
+        if w == "log":
+            return 1 + math.log(float(wdf))
+        if w == "aug_log":
+            return 0.2 + 0.8 * math.log(1.0 + wdf)
+        if w == "sqrt":
+            return math.sqrt(wdf - 0.5) + 1
+        raise ValueError(f"unsupported wdf_norm {w}")
+
+    def sumpart(self, wdf: float, doc_len: float) -> float:
+        return self._wdfn(wdf, doc_len) * self.idfn * self.wqf_factor
+
+    def sumpart_col(self, wdf: Column, doc_len: Column) -> Column:
+        w = self.wdf_norm
+        x = wdf.cast("double")
+        if w == "none":
+            wdfn = x
+        elif w == "boolean":
+            wdfn = F.when(wdf > 0, 1.0).otherwise(0.0)
+        elif w == "square":
+            wdfn = x * x
+        elif w == "log":
+            wdfn = F.when(wdf > 0, F.lit(1.0) + F.log(x)).otherwise(0.0)
+        elif w == "aug_log":
+            wdfn = F.when(wdf > 0, F.lit(0.2) + F.lit(0.8) * F.log(F.lit(1.0) + x)).otherwise(0.0)
+        elif w == "sqrt":
+            wdfn = F.when(wdf > 0, F.sqrt(x - F.lit(0.5)) + F.lit(1.0)).otherwise(0.0)
+        else:
+            raise ValueError(f"unsupported wdf_norm {w}")
+        return wdfn * F.lit(self.idfn) * F.lit(self.wqf_factor)
+
+    def maxpart(self, wdf_max: int, doclen_lower_bound: int) -> float:
+        return self._wdfn(wdf_max, doclen_lower_bound) * self.idfn * self.wqf_factor
+
+
+class TfIdfScheme:
+    """TfIdfWeight; defaults wdf_norm=NONE, idf_norm=TFIDF, wt_norm=NONE
+    (weight.h:1026-1028); sumpart = wdfn * idfn * wqf * factor
+    (tfidfweight.cc:206-213)."""
+
+    name = "tfidf"
+
+    def __init__(self, wdf_norm: str = "none", idf_norm: str = "tfidf"):
+        self.wdf_norm = wdf_norm
+        self.idf_norm = idf_norm
+
+    def init(self, termfreq, collfreq, stats, wqf=1, factor=1.0):
+        n = float(stats["doccount"])
+        tf = float(termfreq)
+        i = self.idf_norm
+        if i == "none":
+            idfn = 1.0
+        elif i == "prob":
+            idfn = 0.0 if n == tf else math.log((n - tf) / tf)
+        elif i == "freq":
+            idfn = 1.0 / tf
+        elif i == "square":
+            x = math.log(n / tf)
+            idfn = x * x
+        elif i == "pivoted":
+            idfn = math.log((n + 1) / tf)
+        elif i == "tfidf":
+            idfn = math.log(n / tf)
+        else:
+            raise ValueError(f"unsupported idf_norm {i}")
+        return _TfIdfTerm(
+            idfn=idfn,
+            wqf_factor=wqf * factor,
+            wdf_norm=self.wdf_norm,
+            avg_len=stats["avg_length"],
+        )
+
+
+@dataclass
+class _ConstTerm(TermWeight):
+    value: float
+
+    def sumpart(self, wdf: float, doc_len: float) -> float:
+        return self.value
+
+    def sumpart_col(self, wdf: Column, doc_len: Column) -> Column:
+        return F.lit(self.value)
+
+    def maxpart(self, wdf_max: int, doclen_lower_bound: int) -> float:
+        return self.value
+
+
+class CoordScheme:
+    """CoordWeight: 1 × factor per matching subquery (weight.h:2166,
+    coordweight.cc:65-70)."""
+
+    name = "coord"
+
+    def init(self, termfreq, collfreq, stats, wqf=1, factor=1.0):
+        return _ConstTerm(float(factor))
+
+
+class BoolScheme:
+    """BoolWeight: all weights 0 (weight.h:678)."""
+
+    name = "bool"
+
+    def init(self, termfreq, collfreq, stats, wqf=1, factor=1.0):
+        return _ConstTerm(0.0)

@@ -105,6 +105,9 @@ class IndexTables:
     postings: DataFrame  # BLOCK_SCHEMA
     stats: dict  # doccount, total_length, avg_length, doclen bounds
     config: dict = field(default_factory=dict)
+    #: logically-deleted docs (doc_id) — anti-joined at match time, removed
+    #: physically at compaction (delete_document semantics, database.h:1016+)
+    tombstones: DataFrame | None = None
 
 
 def invert_corpus(

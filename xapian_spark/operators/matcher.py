@@ -141,10 +141,14 @@ class Matcher:
         spark: SparkSession,
         index: IndexTables,
         params: BM25Params = BM25Params(),
+        scheme=None,
     ):
+        from ..functions.weights import BM25Scheme
+
         self.spark = spark
         self.index = index
         self.params = params
+        self.scheme = scheme if scheme is not None else BM25Scheme(params)
         self._leaf_counter = 0
 
     # ---------------- public API ----------------
@@ -164,7 +168,7 @@ class Matcher:
             )
             return MSetResult(df=empty, matches=0)
         self._leaf_counter = 0
-        matched = self._eval(q, factor=1.0)
+        matched = self._tombfilter(self._eval(q, factor=1.0))
         ranked = matched.orderBy(F.desc("weight"), F.asc("doc_id")).limit(
             first + maxitems
         )
@@ -192,13 +196,23 @@ class Matcher:
         q = Q.normalize(q)
         if isinstance(q, Q.MatchNothing):
             return self.spark.createDataFrame([], "doc_id long, weight double")
-        if prune and k > 0:
-            leaf_terms = self._or_of_terms(q)
-            if leaf_terms is not None:
-                return self._wand(leaf_terms, k)
+        if prune and k > 0 and self.index.tombstones is None:
+            from ..functions.weights import BM25Scheme
+
+            # the WAND kernel's bound/score columns encode the BM25 formula
+            if isinstance(self.scheme, BM25Scheme):
+                leaf_terms = self._or_of_terms(q)
+                if leaf_terms is not None:
+                    return self._wand(leaf_terms, k)
         self._leaf_counter = 0
-        matched = self._eval(q, factor=1.0)
+        matched = self._tombfilter(self._eval(q, factor=1.0))
         return matched.orderBy(F.desc("weight"), F.asc("doc_id")).limit(k)
+
+    def _tombfilter(self, df: DataFrame) -> DataFrame:
+        tomb = self.index.tombstones
+        if tomb is None:
+            return df
+        return df.join(F.broadcast(tomb), "doc_id", "left_anti")
 
     @staticmethod
     def _or_of_terms(q: Q.Query) -> list[tuple[str, int]] | None:
@@ -237,13 +251,13 @@ class Matcher:
         if isinstance(q, Q.MatchNothing):
             return self._empty()
         self._leaf_counter = 0
-        return self._eval(q, factor=1.0)
+        return self._tombfilter(self._eval(q, factor=1.0))
 
     def count_matches(self, q: Q.Query) -> int:
         q = Q.normalize(q)
         if isinstance(q, Q.MatchNothing):
             return 0
-        return self._eval_bool(q).count()
+        return self._tombfilter(self._eval_bool(q)).count()
 
     # ---------------- helpers ----------------
 
@@ -260,19 +274,16 @@ class Matcher:
         )
         return {r["term"]: (r["termfreq"], r["collfreq"], r["wdf_max"]) for r in rows}
 
-    def _weight_for(
-        self, term: str, wqf: int, factor: float, stats: dict
-    ) -> BM25Term | None:
+    def _weight_for(self, term: str, wqf: int, factor: float, stats: dict):
         ts = stats.get(term)
         if ts is None:
             return None
-        return bm25_init(
+        return self.scheme.init(
             termfreq=ts[0],
-            collection_size=self.index.stats["doccount"],
-            average_length=self.index.stats["avg_length"],
+            collfreq=ts[1],
+            stats=self.index.stats,
             wqf=wqf,
             factor=factor,
-            params=self.params,
         )
 
     def _decoded_for_terms(
@@ -505,13 +516,9 @@ class Matcher:
         tf = merged.count()
         if tf == 0:
             return self._empty()
-        w = bm25_init(
-            termfreq=tf,
-            collection_size=self.index.stats["doccount"],
-            average_length=self.index.stats["avg_length"],
-            wqf=1,
-            factor=factor,
-            params=self.params,
+        cf = sum(stats[t][1] for t in known)
+        w = self.scheme.init(
+            termfreq=tf, collfreq=cf, stats=self.index.stats, wqf=1, factor=factor
         )
         return merged.select(
             "doc_id", w.sumpart_col(F.col("wdf"), F.col("doc_len")).alias("weight")

@@ -52,9 +52,28 @@ def build_oracle_index(
 
 
 class OracleMatcher:
-    def __init__(self, ix: OracleIndex, params: BM25Params = BM25Params()):
+    def __init__(self, ix: OracleIndex, params: BM25Params = BM25Params(), scheme=None):
+        from .functions.weights import BM25Scheme
+
         self.ix = ix
         self.params = params
+        self.scheme = scheme if scheme is not None else BM25Scheme(params)
+
+    def _stats(self) -> dict:
+        return {
+            "doccount": self.ix.doccount,
+            "avg_length": self.ix.avg_length,
+            "total_length": self.ix.total_length,
+        }
+
+    def _init_term(self, termfreq: int, collfreq: int, wqf: int, factor: float):
+        return self.scheme.init(
+            termfreq=termfreq,
+            collfreq=collfreq,
+            stats=self._stats(),
+            wqf=wqf,
+            factor=factor,
+        )
 
     # (docid → weight) maps; None weight marks pure-boolean results
     def _weights(self, q: Q.Query, factor: float) -> dict[int, float]:
@@ -63,14 +82,8 @@ class OracleMatcher:
             plist = ix.postings.get(q.term, {})
             if not plist:
                 return {}
-            w = bm25_init(
-                termfreq=len(plist),
-                collection_size=ix.doccount,
-                average_length=ix.avg_length,
-                wqf=q.wqf,
-                factor=factor,
-                params=self.params,
-            )
+            collfreq = sum(len(p) for p in plist.values())
+            w = self._init_term(len(plist), collfreq, q.wqf, factor)
             return {
                 d: w.sumpart(len(poss), ix.doclens[d]) for d, poss in plist.items()
             }
@@ -157,13 +170,8 @@ class OracleMatcher:
                     plist = self.ix.postings.get(t)
                     if not plist:
                         continue
-                    w = bm25_init(
-                        termfreq=len(plist),
-                        collection_size=self.ix.doccount,
-                        average_length=self.ix.avg_length,
-                        factor=factor,
-                        params=self.params,
-                    )
+                    cf = sum(len(p) for p in plist.values())
+                    w = self._init_term(len(plist), cf, 1, factor)
                     wdf_max = max(len(p) for p in plist.values())
                     mx = max(mx, w.maxpart(wdf_max, self.ix.doclen_lower_bound()))
                 scored.append((-mx, i, c))
@@ -180,13 +188,10 @@ class OracleMatcher:
                 merged[d] = merged.get(d, 0) + len(poss)
         if not merged:
             return {}
-        w = bm25_init(
-            termfreq=len(merged),
-            collection_size=ix.doccount,
-            average_length=ix.avg_length,
-            factor=factor,
-            params=self.params,
+        cf = sum(
+            len(p) for t in q.terms() for p in ix.postings.get(t, {}).values()
         )
+        w = self._init_term(len(merged), cf, 1, factor)
         return {
             d: w.sumpart(min(wdf, ix.doclens[d]), ix.doclens[d])
             for d, wdf in merged.items()
