@@ -1,0 +1,85 @@
+"""LTR features, clustering, snippets (SURVEY.md §2.10 auxiliary systems)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_ltr_features_match_oracle_formulas(spark, index, oracle):
+    from xapian_spark.operators.ltr import ltr_features
+
+    terms = ["binary_search", "return"]
+    feats = {r["doc_id"]: r for r in ltr_features(spark, index, terms).collect()}
+    assert feats
+    # verify f1/f2/f3 for a few docs against the oracle index
+    n = oracle.ix.doccount
+    checked = 0
+    for d, row in list(feats.items())[:20]:
+        f1 = f2 = f3 = 0.0
+        for t in terms:
+            plist = oracle.ix.postings.get(t, {})
+            idf = math.log10(n / len(plist)) if plist else 0.0
+            if d in plist:
+                wdf = len(plist[d])
+                dl = oracle.ix.doclens[d]
+                f1 += math.log10(1 + wdf)
+                f2 += math.log10(1 + wdf / (1 + dl))
+            if plist:
+                f3 += math.log10(1 + idf)
+        # f3 sums over terms PRESENT in the doc in our impl
+        assert abs(row["f1"] - f1) < 1e-9
+        assert abs(row["f2"] - f2) < 1e-9
+        checked += 1
+    assert checked
+
+
+def test_ltr_f6_is_bm25(spark, index, oracle):
+    from xapian_spark.operators.ltr import ltr_features
+    from xapian_spark.plans import query as Q
+
+    terms = ["binary_search", "merge_sort"]
+    feats = {r["doc_id"]: r["f6"] for r in ltr_features(spark, index, terms).collect()}
+    want = dict(oracle.mset(Q.Or([Q.Term(t) for t in terms]), 10000))
+    assert set(feats) == set(want)
+    for d, w in want.items():
+        assert abs(feats[d] - w) < 1e-9
+
+
+def test_kmeans_clusters(spark, index):
+    from xapian_spark.operators.cluster import kmeans_clusters
+
+    out = kmeans_clusters(spark, index, k=4, max_iter=5)
+    rows = out.collect()
+    assert len(rows) == index.docs.filter("doc_len > 0").count()
+    assert set(r["cluster"] for r in rows) <= set(range(4))
+    # deterministic with fixed seed
+    again = {r["doc_id"]: r["cluster"] for r in kmeans_clusters(spark, index, k=4, max_iter=5).collect()}
+    assert all(again[r["doc_id"]] == r["cluster"] for r in rows)
+
+
+def test_snippet_highlights():
+    from xapian_spark.functions.snippet import make_snippet
+
+    text = "the binary_search function scans a sorted array for the key"
+    s = make_snippet(text, {"binary_search": 2.0, "key": 1.0}, length=200)
+    assert "<b>binary_search</b>" in s and "<b>key</b>" in s
+    # tokenizer-aware highlighting
+    assert "<b>C++</b>" in make_snippet("C++ rocks", ["c++"])
+    # truncation adds ellipses
+    long = ("filler " * 50) + "needle " + ("filler " * 50)
+    s2 = make_snippet(long, ["needle"], length=40)
+    assert "<b>needle</b>" in s2 and s2.startswith("...") and s2.endswith("...")
+    assert make_snippet("", ["x"]) == ""
+
+
+def test_snippets_for_mset(spark, index, matcher, corpus):
+    from xapian_spark.functions.snippet import snippets_for_mset
+    from xapian_spark.plans import query as Q
+
+    top = matcher.mset_df(Q.Term("binary_search"), 5)
+    out = snippets_for_mset(
+        spark, top, corpus.select("doc_id", "content"), ["binary_search"]
+    ).collect()
+    assert len(out) == 5
+    assert all("<b>binary_search</b>" in r["snippet"] for r in out)

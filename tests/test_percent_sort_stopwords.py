@@ -1,0 +1,64 @@
+"""Percent scores (mset.cc:449-480), sort-by-value, stopwords (STOP_ALL)."""
+
+import pytest
+
+from tests.conftest import N_DOCS, assert_mset_equal
+from xapian_spark.plans import query as Q
+
+
+def test_percent_matches_oracle(spark, matcher, oracle):
+    for q in [
+        Q.Or([Q.Term("binary_search"), Q.Term("return")]),
+        Q.Term("return"),
+        Q.And([Q.Term("return"), Q.Term("if")]),
+        Q.MaxOp([Q.Term("binary_search"), Q.Term("merge_sort")]),
+        Q.Synonym([Q.Term("binary_search"), Q.Term("merge_sort")]),
+    ]:
+        res = matcher.mset(q, maxitems=10, with_percent=True)
+        want = oracle.mset_percent(q, 10)
+        got = [(r["doc_id"], res.percents[r["doc_id"]]) for r in res.df.collect()]
+        assert got == [(d, p) for d, _, p in want]
+        assert all(1 <= p <= 100 for _, p in got)
+
+
+def test_percent_unweighted_is_100(spark, matcher):
+    res = matcher.mset(Q.MatchAll(), maxitems=5, with_percent=True)
+    assert set(res.percents.values()) == {100}
+
+
+def test_sort_by_value(spark, matcher, index):
+    q = Q.Term("binary_search")
+    res = matcher.mset(q, maxitems=10, sort_by_value="path")
+    ids = [r["doc_id"] for r in res.df.collect()]
+    docs = {
+        r["doc_id"]: r["path"]
+        for r in index.docs.select("doc_id", "path").collect()
+    }
+    paths = [docs[i] for i in ids]
+    assert paths == sorted(paths)
+    # reverse order
+    res2 = matcher.mset(q, maxitems=10, sort_by_value="path", sort_value_reverse=True)
+    paths2 = [docs[r["doc_id"]] for r in res2.df.collect()]
+    assert paths2 == sorted(paths2, reverse=True)
+
+
+def test_stopwords_engine_vs_oracle(spark, corpus):
+    from xapian_spark.operators.indexer import build_index
+    from xapian_spark.operators.matcher import Matcher
+    from xapian_spark.oracle import OracleMatcher, build_oracle_index
+    from xapian_spark.sources.corpus import generate_corpus
+
+    stop = frozenset({"return", "if", "the"})
+    ix = build_index(spark, corpus, meta_cols=["lang"], stopwords=stop)
+    om = OracleMatcher(
+        build_oracle_index(
+            [(i + 1, r[4]) for i, r in enumerate(generate_corpus(N_DOCS))],
+            stopwords=stop,
+        )
+    )
+    m = Matcher(spark, ix)
+    # a stopped term matches nothing; other scores shift (doc_len changed)
+    assert m.mset_df(Q.Term("return"), 5).count() == 0
+    q = Q.Or([Q.Term("binary_search"), Q.Term("error")])
+    assert_mset_equal(m.mset_df(q, 10).collect(), om.mset(q, 10))
+    assert ix.stats["total_length"] == om.ix.total_length

@@ -116,13 +116,25 @@ def invert_corpus(
     content_col: str = "content",
     mode: str = "xapian",
     with_positions: bool = True,
+    stopwords: frozenset[str] | None = None,
 ) -> DataFrame:
     """Corpus → flat postings (doc_id, term, wdf, positions).
 
     One Arrow-batched pass; the per-doc inversion mirrors
     Document::Internal's term→TermInfo map (backends/documentinternal.h:69-107).
+    ``stopwords`` implements Stopper with STOP_ALL: stopped terms are
+    dropped before add_posting and consume no position
+    (termgenerator_internal.cc:334-338).
     """
-    tok = xapian_tokenize if mode == "xapian" else simple_tokenize
+    base_tok = xapian_tokenize if mode == "xapian" else simple_tokenize
+    if stopwords:
+        stop = frozenset(stopwords)
+
+        def tok(text: str) -> list[str]:
+            return [t for t in base_tok(text) if t not in stop]
+
+    else:
+        tok = base_tok
     src = corpus.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(content_col).alias("_content")
     )
@@ -275,6 +287,7 @@ def build_index(
     block_size: int = DEFAULT_BLOCK_SIZE,
     integrity_sha256: bool = True,
     flat_postings: DataFrame | None = None,
+    stopwords: frozenset[str] | None = None,
 ) -> IndexTables:
     """Build docs/dictionary/postings/stats from a corpus DataFrame.
 
@@ -283,7 +296,9 @@ def build_index(
     """
     flat = flat_postings
     if flat is None:
-        flat = invert_corpus(corpus, id_col, content_col, mode, with_positions)
+        flat = invert_corpus(
+            corpus, id_col, content_col, mode, with_positions, stopwords=stopwords
+        )
     # Persist: consumed by doclens, dictionary and blocks.
     flat = flat.persist()
 

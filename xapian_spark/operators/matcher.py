@@ -131,6 +131,24 @@ class MSetResult:
     df: DataFrame  # rank, doc_id, weight
     matches: int | None = None  # exact count (reference reports bounds)
     max_possible: float | None = None
+    percents: dict | None = None  # doc_id → percent (mset.cc:449-480)
+
+
+_DBL_EPSILON = 2.220446049250313e-16
+
+
+def convert_to_percent(weight: float, max_possible: float) -> int:
+    """MSet::Internal::convert_to_percent (api/mset.cc:449-480), exact."""
+    if max_possible == 0.0:
+        return 100  # unweighted search → all matches 100%
+    if weight <= 0.0:
+        return 0
+    percent = int(weight * (100.0 / max_possible) + 100.0 * _DBL_EPSILON)
+    if percent <= 0:
+        return 1
+    if percent > 100:
+        return 100
+    return percent
 
 
 class Matcher:
@@ -159,8 +177,16 @@ class Matcher:
         maxitems: int = 10,
         first: int = 0,
         with_count: bool = False,
+        with_percent: bool = False,
+        sort_by_value: str | None = None,
+        sort_value_reverse: bool = False,
     ) -> MSetResult:
-        """≈ Enquire::get_mset (api/enquire.cc:257-340)."""
+        """≈ Enquire::get_mset (api/enquire.cc:257-340).
+
+        ``sort_by_value``: order by a docs-table column instead of weight
+        (Enquire::set_sort_by_value, enquire.h:163-269); ties broken by
+        docid ASC like the reference's VAL comparator (msetcmp.cc).
+        """
         q = Q.normalize(q)
         if isinstance(q, Q.MatchNothing):
             empty = self.spark.createDataFrame(
@@ -169,9 +195,16 @@ class Matcher:
             return MSetResult(df=empty, matches=0)
         self._leaf_counter = 0
         matched = self._tombfilter(self._eval(q, factor=1.0))
-        ranked = matched.orderBy(F.desc("weight"), F.asc("doc_id")).limit(
-            first + maxitems
-        )
+        if sort_by_value is not None:
+            key = self.index.docs.select("doc_id", sort_by_value)
+            matched = matched.join(key, "doc_id", "left")
+            order = [
+                F.desc(sort_by_value) if sort_value_reverse else F.asc(sort_by_value),
+                F.asc("doc_id"),
+            ]
+        else:
+            order = [F.desc("weight"), F.asc("doc_id")]
+        ranked = matched.orderBy(*order).limit(first + maxitems)
         rows = ranked.collect()[first : first + maxitems]
         out = self.spark.createDataFrame(
             [(i + 1 + first, r["doc_id"], float(r["weight"])) for i, r in enumerate(rows)],
@@ -180,7 +213,60 @@ class Matcher:
         res = MSetResult(df=out)
         if with_count:
             res.matches = matched.count()
+        if with_percent:
+            stats = self._term_stats(q.terms())
+            max_possible = self._max_possible(q, 1.0, stats)
+            agg = matched.agg(F.max("weight")).collect()[0][0]
+            max_attained = float(agg) if agg is not None else 0.0
+            # mset.cc:444 — max_possible = max(max_possible, max_attained)
+            max_possible = max(max_possible, max_attained)
+            res.max_possible = max_possible
+            res.percents = {
+                r["doc_id"]: convert_to_percent(float(r["weight"]), max_possible)
+                for r in rows
+            }
         return res
+
+    def _max_possible(self, q: Q.Query, factor: float, stats: dict) -> float:
+        """Tree maxweight ≈ PostListTree::recalc_maxweight
+        (matcher/postlisttree.h:131-190)."""
+        dlb = self.index.stats["doclen_lower_bound"]
+        if isinstance(q, Q.Term):
+            w = self._weight_for(q.term, q.wqf, factor, stats)
+            ts = stats.get(q.term)
+            return w.maxpart(ts[2], dlb) if w and ts else 0.0
+        if isinstance(q, (Q.Or, Q.And, Q.Xor, Q.Phrase, Q.Near)):
+            return sum(self._max_possible(c, factor, stats) for c in q.children)
+        if isinstance(q, (Q.AndNot, Q.Filter)):
+            return self._max_possible(q.left, factor, stats)
+        if isinstance(q, Q.AndMaybe):
+            return self._max_possible(q.left, factor, stats) + self._max_possible(
+                q.right, factor, stats
+            )
+        if isinstance(q, Q.MaxOp):
+            return max(
+                (self._max_possible(c, factor, stats) for c in q.children),
+                default=0.0,
+            )
+        if isinstance(q, Q.ScaleWeight):
+            return self._max_possible(q.subquery, factor * q.factor, stats)
+        if isinstance(q, Q.Synonym):
+            known = [t for t in dict.fromkeys(q.terms()) if t in stats]
+            if not known:
+                return 0.0
+            tf = self._decoded_for_terms(known).select("doc_id").distinct().count()
+            if tf == 0:
+                return 0.0
+            cf = sum(stats[t][1] for t in known)
+            w = self.scheme.init(
+                termfreq=tf, collfreq=cf, stats=self.index.stats, wqf=1, factor=factor
+            )
+            wdf_max = min(
+                sum(stats[t][2] for t in known),
+                self.index.stats["doclen_upper_bound"],
+            )
+            return w.maxpart(wdf_max, dlb)
+        return 0.0
 
     def mset_df(self, q: Q.Query, k: int, prune: bool = False) -> DataFrame:
         """Top-k as a pure DataFrame (TakeOrderedAndProject, no collect) —
@@ -498,7 +584,7 @@ class Matcher:
     # -- synonym: weight as ONE pseudo-term over merged postings
     #    (matcher/synonympostlist.cc + localsubmatch.cc:209).
     def _eval_synonym(self, q: Q.Synonym, factor: float, stats: dict) -> DataFrame:
-        terms = q.terms()
+        terms = list(dict.fromkeys(q.terms()))
         known = [t for t in terms if t in stats]
         if not known:
             return self._empty()

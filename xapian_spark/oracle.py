@@ -37,12 +37,17 @@ class OracleIndex:
 
 
 def build_oracle_index(
-    docs: list[tuple[int, str]], mode: str = "xapian"
+    docs: list[tuple[int, str]],
+    mode: str = "xapian",
+    stopwords: frozenset[str] | None = None,
 ) -> OracleIndex:
     tok = xapian_tokenize if mode == "xapian" else simple_tokenize
+    stop = frozenset(stopwords) if stopwords else None
     ix = OracleIndex()
     for doc_id, text in docs:
         terms = tok(text) if isinstance(text, str) else []
+        if stop:
+            terms = [t for t in terms if t not in stop]
         ix.doclens[doc_id] = len(terms)
         ix.doccount += 1
         ix.total_length += len(terms)
@@ -183,13 +188,15 @@ class OracleMatcher:
     def _synonym(self, q: Q.Synonym, factor: float) -> dict[int, float]:
         ix = self.ix
         merged: dict[int, int] = {}
-        for t in q.terms():
+        for t in dict.fromkeys(q.terms()):
             for d, poss in ix.postings.get(t, {}).items():
                 merged[d] = merged.get(d, 0) + len(poss)
         if not merged:
             return {}
         cf = sum(
-            len(p) for t in q.terms() for p in ix.postings.get(t, {}).values()
+            len(p)
+            for t in dict.fromkeys(q.terms())
+            for p in ix.postings.get(t, {}).values()
         )
         w = self._init_term(len(merged), cf, 1, factor)
         return {
@@ -224,6 +231,63 @@ class OracleMatcher:
         weights = self._weights(q, 1.0)
         ranked = sorted(weights.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
+
+    def mset_percent(self, q: Q.Query, k: int) -> list[tuple[int, float, int]]:
+        """Top-k with percent (mset.cc:449-480 semantics)."""
+        from .operators.matcher import convert_to_percent
+
+        q = Q.normalize(q)
+        if isinstance(q, Q.MatchNothing):
+            return []
+        weights = self._weights(q, 1.0)
+        mp = self._max_possible(q, 1.0)
+        if weights:
+            mp = max(mp, max(weights.values()))
+        ranked = sorted(weights.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [(d, w, convert_to_percent(w, mp)) for d, w in ranked]
+
+    def _max_possible(self, q: Q.Query, factor: float) -> float:
+        ix = self.ix
+        dlb = ix.doclen_lower_bound()
+        if isinstance(q, Q.Term):
+            plist = ix.postings.get(q.term)
+            if not plist:
+                return 0.0
+            cf = sum(len(p) for p in plist.values())
+            w = self._init_term(len(plist), cf, q.wqf, factor)
+            return w.maxpart(max(len(p) for p in plist.values()), dlb)
+        if isinstance(q, (Q.Or, Q.And, Q.Xor, Q.Phrase, Q.Near)):
+            return sum(self._max_possible(c, factor) for c in q.children)
+        if isinstance(q, (Q.AndNot, Q.Filter)):
+            return self._max_possible(q.left, factor)
+        if isinstance(q, Q.AndMaybe):
+            return self._max_possible(q.left, factor) + self._max_possible(
+                q.right, factor
+            )
+        if isinstance(q, Q.MaxOp):
+            return max((self._max_possible(c, factor) for c in q.children), default=0.0)
+        if isinstance(q, Q.ScaleWeight):
+            return self._max_possible(q.subquery, factor * q.factor)
+        if isinstance(q, Q.Synonym):
+            merged: dict[int, int] = {}
+            for t in dict.fromkeys(q.terms()):
+                for d, poss in ix.postings.get(t, {}).items():
+                    merged[d] = merged.get(d, 0) + len(poss)
+            if not merged:
+                return 0.0
+            cf = sum(
+                len(p)
+                for t in dict.fromkeys(q.terms())
+                for p in ix.postings.get(t, {}).values()
+            )
+            w = self._init_term(len(merged), cf, 1, factor)
+            wdf_max_terms = sum(
+                max((len(p) for p in ix.postings.get(t, {}).values()), default=0)
+                for t in set(q.terms())
+            )
+            wdf_max = min(wdf_max_terms, max(ix.doclens.values(), default=0))
+            return w.maxpart(wdf_max, dlb)
+        return 0.0
 
     def count(self, q: Q.Query) -> int:
         q = Q.normalize(q)
