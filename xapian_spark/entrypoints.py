@@ -722,3 +722,137 @@ FROM tstat
 WHERE term <> 'hsah' AND levenshtein('hsah', term) <= 2
 ORDER BY dist ASC, freq DESC, term ASC LIMIT 1""",
 )
+
+
+# ---- Percent scores / value sort / LTR / snippets / clustering -------------
+
+def _q_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = get_matcher(spark, sf_dir)
+    q = Q.Or([Q.Term("hash"), Q.Term("join")])
+    res = m.mset(q, maxitems=20, with_percent=True)
+    rows = [
+        (r["doc_id"], round(r["weight"], ROUND), res.percents[r["doc_id"]])
+        for r in res.df.collect()
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double, percent int")
+
+
+_register(
+    "bm25_percent",
+    _q_percent,
+    _bm25_sql(
+        ["hash", "join"],
+        f"""
+, persum AS (
+  SELECT doc_id, sum(s) AS w FROM scored GROUP BY doc_id
+), tops AS (
+  SELECT doc_id, w FROM persum ORDER BY round(w, {ROUND}) DESC, doc_id ASC LIMIT 20
+), mp AS (
+  -- max_possible = Σ per-term maxpart (wdf_max, doclen lower bound) then
+  -- max(·, max_attained) — postlisttree.h:131-190 + mset.cc:444
+  SELECT GREATEST(
+    (SELECT sum(tw.w * (ts.wdf_max::DOUBLE /
+        ((GREATEST(GREATEST(ts.wdf_max::DOUBLE,
+                            (SELECT min(doc_len) FROM dl)::DOUBLE) * tw.lf, 0.5)
+          * 0.5 + 0.5) + ts.wdf_max::DOUBLE)))
+     FROM tw JOIN tstat ts ON ts.term = tw.term),
+    (SELECT max(w) FROM persum)) AS m
+)
+SELECT t.doc_id, round(t.w, {ROUND}) AS score,
+       -- floor, not CAST: DuckDB's double→int cast ROUNDS, the reference's
+       -- int() truncates (mset.cc:467)
+       LEAST(100, GREATEST(1,
+         floor(t.w * (100.0 / mp.m) + 100.0 * 2.220446049250313e-16)))::INT AS percent
+FROM tops t, mp
+ORDER BY score DESC, doc_id ASC""",
+    ),
+)
+
+
+def _q_sort_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = get_matcher(spark, sf_dir)
+    res = m.mset(Q.Term("dup"), maxitems=10, sort_by_value="n_chars")
+    return res.df.select("rank", "doc_id")
+
+
+_register(
+    "sort_by_value",
+    _q_sort_by_value,
+    _PRELUDE
+    + """
+, m AS (SELECT DISTINCT doc_id FROM post WHERE term = 'dup')
+SELECT row_number() OVER (ORDER BY d.n_chars ASC, m.doc_id ASC)::BIGINT AS rank,
+       m.doc_id
+FROM m JOIN documents d USING (doc_id)
+ORDER BY rank LIMIT 10""",
+)
+
+
+def _q_ltr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ltr import ltr_features
+
+    m = get_matcher(spark, sf_dir)
+    f = ltr_features(spark, m.index, ["hash", "join"])
+    return f.select(
+        "doc_id",
+        *[F.round(F.col(c), ROUND).alias(c) for c in ["f1", "f2", "f3", "f4", "f5", "f6"]],
+    )
+
+
+_register(
+    "ltr_features",
+    _q_ltr,
+    _bm25_sql(
+        ["hash", "join"],
+        f"""
+, idf AS (
+  SELECT ts.term, log10(st.n::DOUBLE / ts.tf::DOUBLE) AS idf,
+         log10(1.0 + ts.cf::DOUBLE / (1.0 + (SELECT sum(doc_len) FROM dl)::DOUBLE)) AS f4add
+  FROM tstat ts, st WHERE ts.term IN ('hash', 'join')
+)
+, per AS (
+  SELECT p.doc_id,
+         log10(1.0 + p.wdf::DOUBLE) AS x1,
+         log10(1.0 + p.wdf::DOUBLE / (1.0 + d.doc_len::DOUBLE)) AS x2,
+         log10(1.0 + i.idf) AS x3,
+         i.f4add AS x4,
+         log10(1.0 + (p.wdf::DOUBLE / (1.0 + d.doc_len::DOUBLE)) * i.idf) AS x5
+  FROM post p JOIN idf i ON p.term = i.term JOIN dl d ON d.doc_id = p.doc_id
+)
+, f6 AS (SELECT doc_id, sum(s) AS f6 FROM scored GROUP BY doc_id)
+SELECT per.doc_id,
+       round(sum(x1), {ROUND}) AS f1, round(sum(x2), {ROUND}) AS f2,
+       round(sum(x3), {ROUND}) AS f3, round(sum(x4), {ROUND}) AS f4,
+       round(sum(x5), {ROUND}) AS f5,
+       round(max(f6.f6), {ROUND}) AS f6
+FROM per JOIN f6 USING (doc_id)
+GROUP BY per.doc_id""",
+    ),
+)
+
+
+def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.snippet import snippets_for_mset
+
+    m = get_matcher(spark, sf_dir)
+    top = _topk(m, Q.Or([Q.Term("hash"), Q.Term("join")]), 5).select("doc_id")
+    docs = _documents(spark, sf_dir).selectExpr("doc_id", "text as content")
+    return snippets_for_mset(
+        spark, top, docs, ["hash", "join"], length=120, mode="simple"
+    ).select("doc_id", "snippet")
+
+
+# presentation feature — no SQL analog (rows-only check)
+_register("snippets_topk", _q_snippets, None)
+
+
+def _q_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cluster import kmeans_clusters
+
+    m = get_matcher(spark, sf_dir)
+    cl = kmeans_clusters(spark, m.index, k=4, max_iter=8)
+    return cl.groupBy("cluster").agg(F.count("*").alias("cnt")).orderBy("cluster")
+
+
+# iterative MLlib algorithm — no SQL analog (rows-only check)
+_register("kmeans_cluster_sizes", _q_clusters, None)

@@ -168,6 +168,7 @@ class Matcher:
         self.params = params
         self.scheme = scheme if scheme is not None else BM25Scheme(params)
         self._leaf_counter = 0
+        self._stats_cache: dict[str, tuple[int, int, int] | None] = {}
 
     # ---------------- public API ----------------
 
@@ -351,14 +352,20 @@ class Matcher:
         """Dictionary lookup: term → (termfreq, collfreq, wdf_max).
 
         Driver-side collect of ≤ #query-terms rows (phase-1 stats
-        accumulation, weight/weightinternal.h:106-231)."""
+        accumulation, weight/weightinternal.h:106-231), memoized per
+        matcher — repeated query terms cost no further Spark job."""
         uniq = sorted(set(terms))
-        rows = (
-            self.index.dictionary.filter(F.col("term").isin(uniq))
-            .select("term", "termfreq", "collfreq", "wdf_max")
-            .collect()
-        )
-        return {r["term"]: (r["termfreq"], r["collfreq"], r["wdf_max"]) for r in rows}
+        missing = [t for t in uniq if t not in self._stats_cache]
+        if missing:
+            rows = (
+                self.index.dictionary.filter(F.col("term").isin(missing))
+                .select("term", "termfreq", "collfreq", "wdf_max")
+                .collect()
+            )
+            found = {r["term"]: (r["termfreq"], r["collfreq"], r["wdf_max"]) for r in rows}
+            for t in missing:
+                self._stats_cache[t] = found.get(t)
+        return {t: self._stats_cache[t] for t in uniq if self._stats_cache[t] is not None}
 
     def _weight_for(self, term: str, wqf: int, factor: float, stats: dict):
         ts = stats.get(term)
