@@ -1,0 +1,76 @@
+"""Snowball English stemmer: validated against the reference's FULL golden
+vocabulary (xapian-data/stemming/english/, 42,649 pairs — the same data
+tests/stemtest.cc uses), plus STEM_SOME end-to-end parity."""
+
+import os
+
+import pytest
+
+GOLD_DIR = "/root/reference/xapian-data/stemming/english"
+
+
+@pytest.mark.skipif(not os.path.isdir(GOLD_DIR), reason="reference goldens absent")
+def test_full_golden_vocabulary():
+    from xapian_spark.functions.stem_en import stem_english
+
+    voc = open(f"{GOLD_DIR}/voc.txt").read().splitlines()
+    out = open(f"{GOLD_DIR}/output.txt").read().splitlines()
+    assert len(voc) == len(out) and len(voc) > 40000
+    bad = [(v, stem_english(v), o) for v, o in zip(voc, out) if stem_english(v) != o]
+    assert not bad, bad[:10]
+
+
+def test_known_stems():
+    from xapian_spark.functions.stem_en import stem_english as S
+
+    assert S("running") == "run"
+    assert S("flies") == "fli"
+    assert S("dying") == "die"
+    assert S("generously") == "generous"
+    assert S("communication") == "communic"
+    assert S("sky") == "sky"  # invariant exception
+    assert S("early") == "earli"  # -LY exception
+
+
+def test_stem_some_engine_vs_oracle(spark, corpus):
+    """STEM_SOME end-to-end: Z-prefixed stemmed terms searchable, doclen
+    includes Z-term wdf, unstemmed positional terms still there."""
+    from tests.conftest import N_DOCS, assert_mset_equal
+    from xapian_spark.operators.indexer import build_index
+    from xapian_spark.operators.matcher import Matcher
+    from xapian_spark.oracle import OracleMatcher, build_oracle_index
+    from xapian_spark.plans import query as Q
+    from xapian_spark.sources.corpus import generate_corpus
+
+    ix = build_index(spark, corpus, meta_cols=["lang"], stem="en")
+    om = OracleMatcher(
+        build_oracle_index(
+            [(i + 1, r[4]) for i, r in enumerate(generate_corpus(N_DOCS))], stem="en"
+        )
+    )
+    m = Matcher(spark, ix)
+    assert ix.stats["total_length"] == om.ix.total_length
+    for q in [
+        Q.Term("Zreturn"),  # stem of 'returns'/'returned'/'return'
+        Q.Or([Q.Term("Zsort"), Q.Term("Zsearch")]),
+        Q.Term("binary_search"),  # unstemmed positional form still present
+        Q.Phrase([Q.Term("binary_search"), Q.Term("merge_sort")]),
+    ]:
+        assert_mset_equal(m.mset_df(q, 10).collect(), om.mset(q, 10))
+    # Zsort matches docs containing 'sorted'/'sorting' etc.
+    assert m.count_matches(Q.Term("Zsort")) >= m.count_matches(Q.Term("sorted"))
+
+
+def test_parser_stemming(spark):
+    from xapian_spark.plans import query as Q
+    from xapian_spark.plans.parser import QueryParser
+
+    p = QueryParser(stem="en")
+    q = p.parse_query("running searches")
+    assert isinstance(q, Q.Or)
+    assert [c.term for c in q.children] == ["Zrun", "Zsearch"]
+    # phrases stay unstemmed (positional terms)
+    ph = p.parse_query('"running fast"')
+    assert [c.term for c in ph.children] == ["running", "fast"]
+    # numbers are not stemmed (should_stem)
+    assert p.parse_query("123").term == "123"

@@ -59,11 +59,13 @@ _SUBBLOCK_SHIFT = 32  # block_no = span_no << 32 | idx
 # pass: VByte streams concatenate losslessly, so the block-pack stage only
 # joins byte strings instead of re-encoding 10^? position lists — the
 # per-posting Python cost lives in the embarrassingly-parallel map stage.
+# n_pos < wdf is possible (add_term-style postings, e.g. Z-stemmed forms).
 POSTINGS_FLAT_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("term", StringType()),
         StructField("wdf", IntegerType()),
+        StructField("n_pos", IntegerType()),
         StructField("doc_len", IntegerType()),
         StructField("pos_enc", BinaryType()),
     ]
@@ -117,6 +119,8 @@ def invert_corpus(
     mode: str = "xapian",
     with_positions: bool = True,
     stopwords: frozenset[str] | None = None,
+    stem: str | None = None,
+    stem_strategy: str = "some",
 ) -> DataFrame:
     """Corpus → flat postings (doc_id, term, wdf, positions).
 
@@ -125,6 +129,17 @@ def invert_corpus(
     ``stopwords`` implements Stopper with STOP_ALL: stopped terms are
     dropped before add_posting and consume no position
     (termgenerator_internal.cc:334-338).
+
+    ``stem='en'`` enables Snowball stemming (functions/stem_en.py, golden-
+    validated) with TermGenerator strategies
+    (termgenerator_internal.h:38, usage :341-390):
+    - 'some' (reference default): unstemmed positional terms + Z-prefixed
+      stemmed forms as positionless add_term postings; Z-term wdf COUNTS
+      toward doc_len (doclen = Σ wdf over the whole termlist);
+    - 'all': stemmed positional terms, no prefix;
+    - 'all_z': Z-prefixed stemmed positional terms.
+    Stemming skips terms whose first character isn't a lower/title/modifier/
+    other letter (should_stem, termgenerator_internal.cc:63-74).
     """
     base_tok = xapian_tokenize if mode == "xapian" else simple_tokenize
     if stopwords:
@@ -135,17 +150,48 @@ def invert_corpus(
 
     else:
         tok = base_tok
+    stemmer = None
+    if stem is not None:
+        if stem not in ("en", "english"):
+            raise ValueError(f"unsupported stemmer {stem!r} (round 1: 'en')")
+        from ..functions.stem_en import stem_english as stemmer  # noqa: F811
     src = corpus.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(content_col).alias("_content")
     )
 
     enc = _encode_poslist if with_positions else None
 
+    def _invert_doc(terms: list[str]) -> tuple[dict[str, tuple[int, list[int]]], int]:
+        """term → (wdf, positions); returns (acc, doc_len = Σ wdf)."""
+        acc: dict[str, tuple[int, list[int]]] = {}
+        dlen = 0
+        pos = 0
+        for t in terms:
+            if stemmer is not None and stem_strategy in ("all", "all_z"):
+                t = stemmer(t)
+                if stem_strategy == "all_z":
+                    t = "Z" + t
+            pos += 1
+            dlen += 1
+            cur = acc.get(t)
+            if cur is None:
+                acc[t] = (1, [pos])
+            else:
+                cur[1].append(pos)
+                acc[t] = (cur[0] + 1, cur[1])
+            if stemmer is not None and stem_strategy == "some" and _should_stem(t):
+                z = "Z" + stemmer(t)
+                dlen += 1
+                zc = acc.get(z)
+                acc[z] = (1, []) if zc is None else (zc[0] + 1, zc[1])
+        return acc, dlen
+
     def _invert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_doc: list[int] = []
             out_term: list[str] = []
             out_wdf: list[int] = []
+            out_npos: list[int] = []
             out_len: list[int] = []
             out_pos: list[bytes | None] = []
             ids = pdf["doc_id"].to_numpy()
@@ -154,20 +200,13 @@ def invert_corpus(
                 text = texts[r]
                 if not isinstance(text, str):
                     continue
-                terms = tok(text)
-                acc: dict[str, list[int]] = {}
-                for pos, t in enumerate(terms, start=1):
-                    lst = acc.get(t)
-                    if lst is None:
-                        acc[t] = [pos]
-                    else:
-                        lst.append(pos)
+                acc, dlen = _invert_doc(tok(text))
                 did = int(ids[r])
-                dlen = len(terms)  # doc_len = Σ wdf (doclen semantics §1.1)
-                for t, poss in acc.items():
+                for t, (wdf, poss) in acc.items():
                     out_doc.append(did)
                     out_term.append(t)
-                    out_wdf.append(len(poss))
+                    out_wdf.append(wdf)
+                    out_npos.append(len(poss))
                     out_len.append(dlen)
                     out_pos.append(enc(poss) if enc else None)
             yield pd.DataFrame(
@@ -175,12 +214,23 @@ def invert_corpus(
                     "doc_id": pd.Series(out_doc, dtype="int64"),
                     "term": pd.Series(out_term, dtype=object),
                     "wdf": pd.Series(out_wdf, dtype="int32"),
+                    "n_pos": pd.Series(out_npos, dtype="int32"),
                     "doc_len": pd.Series(out_len, dtype="int32"),
                     "pos_enc": pd.Series(out_pos, dtype=object),
                 }
             )
 
     return src.mapInPandas(_invert, POSTINGS_FLAT_SCHEMA)
+
+
+def _should_stem(term: str) -> bool:
+    """should_stem (termgenerator_internal.cc:63-74): first character is a
+    lower/title/modifier/other-case letter (notably NOT digits)."""
+    import unicodedata
+
+    if not term:
+        return False
+    return unicodedata.category(term[0]) in ("Ll", "Lt", "Lm", "Lo")
 
 
 def _encode_poslist(poss: list[int]) -> bytes:
@@ -229,6 +279,7 @@ def _pack_partition(block_size: int, with_positions: bool):
         span_nos = pdf["span_no"].to_numpy(dtype=np.int64)
         docids = pdf["doc_id"].to_numpy(dtype=np.uint64)
         wdfs = pdf["wdf"].to_numpy(dtype=np.uint64)
+        nposs = pdf["n_pos"].to_numpy(dtype=np.uint64)
         dlens = pdf["doc_len"].to_numpy(dtype=np.uint64)
         positions = pdf["pos_enc"].to_numpy(dtype=object) if with_positions else None
         n = len(pdf)
@@ -251,9 +302,8 @@ def _pack_partition(block_size: int, with_positions: bool):
                 pos_counts_blob = None
                 pos_blob = None
                 if with_positions:
-                    # wdf == #positions (always-positional indexing); VByte
-                    # streams concatenate losslessly → just join bytes.
-                    pos_counts_blob = codec.vbyte_encode(w)
+                    # VByte streams concatenate losslessly → just join bytes.
+                    pos_counts_blob = codec.vbyte_encode(nposs[lo:hi])
                     pos_blob = b"".join(positions[lo:hi])
                 rows.append(
                     {
@@ -288,6 +338,8 @@ def build_index(
     integrity_sha256: bool = True,
     flat_postings: DataFrame | None = None,
     stopwords: frozenset[str] | None = None,
+    stem: str | None = None,
+    stem_strategy: str = "some",
 ) -> IndexTables:
     """Build docs/dictionary/postings/stats from a corpus DataFrame.
 
@@ -297,7 +349,8 @@ def build_index(
     flat = flat_postings
     if flat is None:
         flat = invert_corpus(
-            corpus, id_col, content_col, mode, with_positions, stopwords=stopwords
+            corpus, id_col, content_col, mode, with_positions,
+            stopwords=stopwords, stem=stem, stem_strategy=stem_strategy,
         )
     # Persist: consumed by doclens, dictionary and blocks.
     flat = flat.persist()
@@ -379,7 +432,7 @@ def build_index(
     grouped = (
         flat.join(dict_spans, "term")
         .withColumn("span_no", (F.col("doc_id") / F.col("span")).cast("long"))
-        .select("term", "span_no", "doc_id", "wdf", "doc_len", "pos_enc")
+        .select("term", "span_no", "doc_id", "wdf", "n_pos", "doc_len", "pos_enc")
     )
     # Explicit hash repartition on the group key: the pack stage is
     # Python-CPU-bound, so partition count must track cores AND bound

@@ -40,19 +40,43 @@ def build_oracle_index(
     docs: list[tuple[int, str]],
     mode: str = "xapian",
     stopwords: frozenset[str] | None = None,
+    stem: str | None = None,
+    stem_strategy: str = "some",
 ) -> OracleIndex:
     tok = xapian_tokenize if mode == "xapian" else simple_tokenize
     stop = frozenset(stopwords) if stopwords else None
+    stemmer = None
+    if stem is not None:
+        from .functions.stem_en import stem_english as stemmer
+    from .operators.indexer import _should_stem
+
     ix = OracleIndex()
     for doc_id, text in docs:
         terms = tok(text) if isinstance(text, str) else []
         if stop:
             terms = [t for t in terms if t not in stop]
-        ix.doclens[doc_id] = len(terms)
+        dlen = 0
+        pos = 0
         ix.doccount += 1
-        ix.total_length += len(terms)
-        for pos, t in enumerate(terms, start=1):
+        for t in terms:
+            if stemmer is not None and stem_strategy in ("all", "all_z"):
+                t = stemmer(t)
+                if stem_strategy == "all_z":
+                    t = "Z" + t
+            pos += 1
+            dlen += 1
             ix.postings.setdefault(t, {}).setdefault(doc_id, []).append(pos)
+            if stemmer is not None and stem_strategy == "some" and _should_stem(t):
+                z = "Z" + stemmer(t)
+                dlen += 1
+                # positionless add_term posting: track wdf via a sentinel
+                # empty-position entry list semantics — the oracle stores
+                # positions; wdf for Z terms = occurrence count, so append
+                # a 0 marker that positional ops never see (Z terms are not
+                # used positionally)
+                ix.postings.setdefault(z, {}).setdefault(doc_id, []).append(0)
+        ix.doclens[doc_id] = dlen
+        ix.total_length += dlen
     return ix
 
 

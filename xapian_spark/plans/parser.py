@@ -71,10 +71,20 @@ class QueryParser:
         flags: int = DEFAULT_FLAGS,
         default_op: str = "or",
         mode: str = "xapian",
+        stem: str | None = None,
     ):
+        """``stem='en'``: free-text terms become Z-prefixed stemmed forms
+        (STEM_SOME query side — the parser generates Zstem terms for
+        probabilistic terms, unstemmed for phrases/positional ops, matching
+        QueryParser behavior with a stemmer set)."""
         self.flags = flags
         self.default_op = default_op
         self._tok = xapian_tokenize if mode == "xapian" else simple_tokenize
+        self._stem = None
+        if stem is not None:
+            from ..functions.stem_en import stem_english
+
+            self._stem = stem_english
 
     # -- public ------------------------------------------------------------
     def parse_query(self, text: str) -> Q.Query:
@@ -248,7 +258,13 @@ class QueryParser:
         if not terms:
             return None
         if len(terms) == 1:
-            return Q.Term(terms[0])
+            t = terms[0]
+            if self._stem is not None:
+                from ..operators.indexer import _should_stem
+
+                if _should_stem(t):
+                    return Q.Term("Z" + self._stem(t))
+            return Q.Term(t)
         # one typed word → several index terms (e.g. "1.2-rc") → phrase
         return Q.Phrase([Q.Term(t) for t in terms], window=len(terms))
 

@@ -182,11 +182,13 @@ def compact(spark: SparkSession, root: str, out_path: str) -> IndexTables:
             enc = [
                 _encode_poslist(list(p)) if p is not None else None for p in poss
             ]
+            npos = [len(p) if p is not None else 0 for p in poss]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "term": pdf["term"],
                     "wdf": pdf["wdf"],
+                    "n_pos": pd.Series(npos, dtype="int32"),
                     "doc_len": pdf["doc_len"],
                     "pos_enc": pd.Series(enc, dtype=object),
                 }
