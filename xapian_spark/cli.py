@@ -1,0 +1,169 @@
+"""Command-line tools — the xapian-quest / xapian-delve / xapian-compact
+analogs (reference bin/xapian-*.cc), runnable via
+``python -m xapian_spark.cli <cmd>`` or ``spark-submit --py-files``.
+
+  index   <corpus.parquet> <index_dir> [--content-col C] [--id-col I]
+          [--mode xapian|simple] [--stem en] [--stopword w]...
+  search  <index_dir> "<query>" [-k N] [--percent] [--prune] [--stem en]
+  delve   <index_dir> [--term T | --doc D | --stats]
+  compact <segment_root> <out_dir>
+  suggest <index_dir> <word>
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark():
+    from .session import get_spark
+
+    s = get_spark(app_name="xapian-spark-cli")
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def cmd_index(args) -> int:
+    from .operators.indexer import build_index
+    from .sources.catalog import save_index
+
+    spark = _spark()
+    corpus = spark.read.parquet(args.corpus)
+    ix = build_index(
+        spark,
+        corpus,
+        id_col=args.id_col,
+        content_col=args.content_col,
+        meta_cols=args.meta or None,
+        mode=args.mode,
+        stem=args.stem,
+        stopwords=frozenset(args.stopword) if args.stopword else None,
+    )
+    manifest = save_index(ix, args.index_dir)
+    print(json.dumps({"snapshot": manifest["snapshot_id"], "stats": manifest["stats"]}))
+    return 0
+
+
+def cmd_search(args) -> int:
+    from .operators.matcher import Matcher
+    from .plans.parser import DEFAULT_FLAGS, FLAG_WILDCARD, QueryParser
+    from .sources.catalog import load_index
+
+    spark = _spark()
+    ix = load_index(spark, args.index_dir)
+    m = Matcher(spark, ix)
+    parser = QueryParser(
+        flags=DEFAULT_FLAGS | FLAG_WILDCARD,
+        mode=ix.config.get("mode", "xapian"),
+        stem=args.stem,
+    )
+    q = parser.parse_query(args.query)
+    if args.prune:
+        rows = m.mset_df(q, args.k, prune=True).collect()
+        for i, r in enumerate(rows):
+            print(f"{i + 1}\t{r['doc_id']}\t{r['weight']:.6f}")
+    else:
+        res = m.mset(q, maxitems=args.k, with_count=True, with_percent=args.percent)
+        for r in res.df.collect():
+            pct = f"\t{res.percents[r['doc_id']]}%" if args.percent else ""
+            print(f"{r['rank']}\t{r['doc_id']}\t{r['weight']:.6f}{pct}")
+        print(f"# matches: {res.matches}", file=sys.stderr)
+    return 0
+
+
+def cmd_delve(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .operators.matcher import decode_blocks
+    from .sources.catalog import load_index
+
+    spark = _spark()
+    ix = load_index(spark, args.index_dir)
+    if args.stats or not (args.term or args.doc):
+        print(json.dumps(ix.stats))
+        print(json.dumps({"vocab": ix.dictionary.count(), "blocks": ix.postings.count()}))
+    if args.term:
+        d = ix.dictionary.filter(F.col("term") == args.term).collect()
+        print(json.dumps([r.asDict() for r in d]))
+        for r in (
+            decode_blocks(ix.postings.filter(F.col("term") == args.term))
+            .orderBy("doc_id")
+            .limit(args.k)
+            .collect()
+        ):
+            print(f"{r['doc_id']}\twdf={r['wdf']}\tdoclen={r['doc_len']}")
+    if args.doc:
+        rows = ix.docs.filter(F.col("doc_id") == args.doc).collect()
+        print(json.dumps([r.asDict() for r in rows], default=str))
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from .streaming.freshness import compact
+
+    spark = _spark()
+    ix = compact(spark, args.segment_root, args.out_dir)
+    print(json.dumps(ix.stats))
+    return 0
+
+
+def cmd_suggest(args) -> int:
+    from .operators.spelling import suggest
+    from .sources.catalog import load_index
+
+    spark = _spark()
+    ix = load_index(spark, args.index_dir)
+    print(suggest(spark, ix, args.word) or "")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="xapian_spark.cli")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("index")
+    p.add_argument("corpus")
+    p.add_argument("index_dir")
+    p.add_argument("--content-col", default="content")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--mode", default="xapian")
+    p.add_argument("--stem", default=None)
+    p.add_argument("--stopword", action="append")
+    p.add_argument("--meta", action="append")
+    p.set_defaults(fn=cmd_index)
+
+    p = sub.add_parser("search")
+    p.add_argument("index_dir")
+    p.add_argument("query")
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--percent", action="store_true")
+    p.add_argument("--prune", action="store_true")
+    p.add_argument("--stem", default=None)
+    p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser("delve")
+    p.add_argument("index_dir")
+    p.add_argument("--term")
+    p.add_argument("--doc", type=int)
+    p.add_argument("--stats", action="store_true")
+    p.add_argument("-k", type=int, default=10)
+    p.set_defaults(fn=cmd_delve)
+
+    p = sub.add_parser("compact")
+    p.add_argument("segment_root")
+    p.add_argument("out_dir")
+    p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("suggest")
+    p.add_argument("index_dir")
+    p.add_argument("word")
+    p.set_defaults(fn=cmd_suggest)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

