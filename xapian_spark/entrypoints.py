@@ -554,7 +554,9 @@ WHERE round(i::DOUBLE / (s1.n + s2.n - i)::DOUBLE, {ROUND}) >= 0.8""",
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import minhash_candidate_pairs, minhash_signatures
 
-    sig = minhash_signatures(_shingles(spark, sf_dir), n_hashes=8)
+    # persist: each LSH band self-joins the signature table, which would
+    # otherwise recompute the 8 min-hash aggregations per band
+    sig = minhash_signatures(_shingles(spark, sf_dir), n_hashes=8).persist()
     return minhash_candidate_pairs(sig, n_hashes=8, bands=2)
 
 
