@@ -33,10 +33,16 @@ def test_precedence_or_lowest():
 def test_phrase_and_near():
     q = P.parse_query('"binary search"')
     assert isinstance(q, Q.Phrase) and q.window == 2
+    # reference window math (queryparser.lemony:2041-2045,2155-2173):
+    # window = (width - 1) + #terms, width defaulting to 10
     q = P.parse_query("hash NEAR/5 join")
-    assert isinstance(q, Q.Near) and q.window == 5
+    assert isinstance(q, Q.Near) and q.window == 6
+    q = P.parse_query("hash NEAR join")
+    assert isinstance(q, Q.Near) and q.window == 11
     q = P.parse_query("hash ADJ join")
-    assert isinstance(q, Q.Phrase) and q.window == 2
+    assert isinstance(q, Q.Phrase) and q.window == 11
+    q = P.parse_query("a NEAR b NEAR c")
+    assert isinstance(q, Q.Near) and q.window == 12
 
 
 def test_lovehate():

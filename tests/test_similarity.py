@@ -1,0 +1,99 @@
+"""ANN LSH index tests: recall@k vs brute force, candidate pruning, and the
+batch knn_join path — the pytest stand-in for the missing SQL oracle
+(approximate ops get a recall bound instead of hash equality).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+def _synthetic_embeddings(spark, n=400, dim=16):
+    """Deterministic clustered vectors: 8 seed directions + small per-row
+    deterministic jitter, so LSH buckets carry real structure."""
+    import hashlib
+
+    rows = []
+    for i in range(n):
+        c = i % 8
+        vec = []
+        for j in range(dim):
+            seed = int(hashlib.md5(f"c{c}:{j}".encode()).hexdigest()[:8], 16)
+            base = seed / 0x7FFFFFFF - 1.0
+            jit_seed = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16)
+            jitter = (jit_seed / 0x7FFFFFFF - 1.0) * 0.15
+            vec.append(float(base + jitter))
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = _synthetic_embeddings(spark).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def ann(emb):
+    from xapian_spark.operators.similarity import AnnLshIndex
+
+    ix = AnnLshIndex(emb, dim=16, n_planes=16, bands=4)
+    yield ix
+    ix.unpersist()
+
+
+def test_lsh_recall_vs_brute_force(spark, emb, ann):
+    from xapian_spark.operators.similarity import brute_force_topk
+
+    k = 10
+    recalls = []
+    for qid in (0, 3, 5):
+        qvec = [float(x) for x in emb.filter(f"vec_id = {qid}").first()["embedding"]]
+        truth = {r["vec_id"] for r in brute_force_topk(emb, qvec, k=k).collect()}
+        got = {r["vec_id"] for r in ann.query(qvec, k=k).collect()}
+        recalls.append(len(truth & got) / k)
+    # deterministic corpus + deterministic planes → stable recall; clustered
+    # data keeps same-cluster neighbours in shared buckets
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_lsh_candidates_prune(emb, ann):
+    """The probe must touch fewer candidates than the table (it's an ANN
+    index, not a scan wearing a costume — VERDICT r01 finding #1)."""
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    from xapian_spark.operators.similarity import query_signature
+
+    ncand = ann._candidates(query_signature(qvec, ann.n_planes)).count()
+    total = emb.count()
+    assert 0 < ncand < total
+
+
+def test_knn_join_matches_single_queries(spark, emb, ann):
+    """Batch knn_join ≡ per-query query() for the same k."""
+    qids = [1, 2]
+    queries = emb.filter(emb.vec_id.isin(qids)).selectExpr(
+        "vec_id as qid", "embedding as qvec"
+    )
+    batch = ann.knn_join(queries, k=5)
+    got = {
+        (r["qid"], r["rank"]): r["vec_id"] for r in batch.collect()
+    }
+    for qid in qids:
+        qvec = [float(x) for x in emb.filter(f"vec_id = {qid}").first()["embedding"]]
+        single = ann.query(qvec, k=5).collect()
+        for rank, row in enumerate(single, start=1):
+            assert got[(qid, rank)] == row["vec_id"]
+
+
+def test_knn_join_rank_is_dense_topk(emb, ann):
+    queries = emb.limit(4).selectExpr("vec_id as qid", "embedding as qvec")
+    out = ann.knn_join(queries, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append(r["rank"])
+    for qid, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3

@@ -2,7 +2,8 @@
 with an oracle_sql(), run both at the given sf and compare row count, column
 names, and order-insensitive values (rounded floats).
 
-Usage: python tools/check_driver_contract.py [sf_dir]
+Usage: python tools/check_driver_contract.py [sf_dir] [entry_name ...]
+(entry names filter the run to a subset — substring match)
 """
 
 from __future__ import annotations
@@ -50,6 +51,9 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    only = sys.argv[2:]
+    if only:
+        qs = {k: v for k, v in qs.items() if any(pat in k for pat in only)}
     n_pass = n_fail = 0
     for name in sorted(qs):
         try:

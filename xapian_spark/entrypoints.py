@@ -527,10 +527,23 @@ FROM fp GROUP BY fp HAVING count(*) > 1""",
 )
 
 
+# Hot-key caps — the 100 TB safety valves (VERDICT r01 "What's wrong" #2):
+# shingles in more docs than this are dropped from the Jaccard universe;
+# LSH band buckets larger than this are dropped before the pair self-join.
+# Mirrored EXACTLY in the oracle SQL so the entries stay hash-equal.
+MAX_SHINGLE_DF = 64
+MAX_BUCKET_SIZE = 64
+
+
 def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_shingles(spark, sf_dir), threshold=0.8, round_digits=ROUND)
+    return ngram_jaccard_pairs(
+        _shingles(spark, sf_dir),
+        threshold=0.8,
+        round_digits=ROUND,
+        max_shingle_df=MAX_SHINGLE_DF,
+    )
 
 
 _register(
@@ -539,10 +552,12 @@ _register(
     _PRELUDE
     + _SHINGLE_SQL
     + f"""
-, sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+, rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF})
+, shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle))
+, sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1)
 , inter AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, count(*)::BIGINT AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT d1, d2, round(i::DOUBLE / (s1.n + s2.n - i)::DOUBLE, {ROUND}) AS jac
@@ -557,7 +572,9 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: each LSH band self-joins the signature table, which would
     # otherwise recompute the 8 min-hash aggregations per band
     sig = minhash_signatures(_shingles(spark, sf_dir), n_hashes=8).persist()
-    return minhash_candidate_pairs(sig, n_hashes=8, bands=2)
+    return minhash_candidate_pairs(
+        sig, n_hashes=8, bands=2, max_bucket_size=MAX_BUCKET_SIZE
+    )
 
 
 _MINHASH_COLS = ",\n  ".join(
@@ -575,11 +592,15 @@ _register(
   FROM sh GROUP BY doc_id
 ), b1 AS (SELECT doc_id, h1 || '|' || h2 || '|' || h3 || '|' || h4 AS bk FROM sig),
   b2 AS (SELECT doc_id, h5 || '|' || h6 || '|' || h7 || '|' || h8 AS bk FROM sig),
+  b1ok AS (SELECT bk FROM b1 GROUP BY bk HAVING count(*) <= {MAX_BUCKET_SIZE}),
+  b2ok AS (SELECT bk FROM b2 GROUP BY bk HAVING count(*) <= {MAX_BUCKET_SIZE}),
+  b1c AS (SELECT b1.doc_id, b1.bk FROM b1 JOIN b1ok USING (bk)),
+  b2c AS (SELECT b2.doc_id, b2.bk FROM b2 JOIN b2ok USING (bk)),
 pairs AS (
-  SELECT a.doc_id AS d1, b.doc_id AS d2 FROM b1 a JOIN b1 b
+  SELECT a.doc_id AS d1, b.doc_id AS d2 FROM b1c a JOIN b1c b
     ON a.bk = b.bk AND a.doc_id < b.doc_id
   UNION
-  SELECT a.doc_id AS d1, b.doc_id AS d2 FROM b2 a JOIN b2 b
+  SELECT a.doc_id AS d1, b.doc_id AS d2 FROM b2c a JOIN b2c b
     ON a.bk = b.bk AND a.doc_id < b.doc_id
 )
 SELECT d1::BIGINT AS d1, d2::BIGINT AS d2 FROM pairs""",
@@ -678,12 +699,23 @@ ORDER BY cos DESC, vec_id ASC LIMIT 10"""
 )
 
 
-def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import lsh_bucketed_topk
+_ANN_CACHE: dict[str, object] = {}
 
-    return lsh_bucketed_topk(
-        _embeddings(spark, sf_dir), _qvec(spark, sf_dir), k=10, round_digits=4
-    )
+
+def _ann_index(spark: SparkSession, sf_dir: str):
+    """Materialized LSH bucket table, built once per sf_dir (index-time
+    signature computation; queries only probe buckets + re-rank)."""
+    if sf_dir not in _ANN_CACHE:
+        from .operators.similarity import AnnLshIndex
+
+        emb = _embeddings(spark, sf_dir)
+        dim = len(emb.select("embedding").first()["embedding"])
+        _ANN_CACHE[sf_dir] = AnnLshIndex(emb, dim)
+    return _ANN_CACHE[sf_dir]
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_index(spark, sf_dir).query(_qvec(spark, sf_dir), k=10, round_digits=4)
 
 
 # approximate by construction → no SQL oracle (driver records rows-only)
@@ -699,8 +731,9 @@ def _q_eset(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.expand import eset_bo1
 
     m = get_matcher(spark, sf_dir)
-    df = eset_bo1(spark, m.index, list(_RSET), maxitems=10)
-    return df.select("term", F.round("wt", ROUND).alias("wt"))
+    # rank_round: select the top-10 by the ROUNDED weight like the oracle
+    # does, so k-boundary near-ties resolve identically on both sides
+    return eset_bo1(spark, m.index, list(_RSET), maxitems=10, rank_round=ROUND)
 
 
 _register(
@@ -747,7 +780,8 @@ ORDER BY dist ASC, freq DESC, term ASC LIMIT 1""",
 def _q_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = get_matcher(spark, sf_dir)
     q = Q.Or([Q.Term("hash"), Q.Term("join")])
-    res = m.mset(q, maxitems=20, with_percent=True)
+    # rank_round: the oracle's `tops` CTE orders by round(w,6) — mirror it
+    res = m.mset(q, maxitems=20, with_percent=True, rank_round=ROUND)
     rows = [
         (r["doc_id"], round(r["weight"], ROUND), res.percents[r["doc_id"]])
         for r in res.df.collect()

@@ -159,12 +159,15 @@ class BM25Scheme:
 
 
 class TradScheme(BM25Scheme):
-    """TradWeight(k) ≡ BM25Weight(k, 0, 0, 1, 0) (weight.h:1292-1309)."""
+    """TradWeight(k) ≡ BM25Weight(k, 0, 0, 1, 0) (weight.h:1292-1309).
+
+    Note k3=0: the reference skips the wqf multiplier entirely for Trad
+    (the 4th ctor arg is b=1, the 3rd is k3=0)."""
 
     name = "trad"
 
     def __init__(self, k: float = 1.0):
-        super().__init__(BM25Params(k1=k, k2=0.0, k3=1.0, b=1.0, min_normlen=0.0))
+        super().__init__(BM25Params(k1=k, k2=0.0, k3=0.0, b=1.0, min_normlen=0.0))
 
 
 @dataclass

@@ -72,12 +72,22 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = 8) -> DataFrame:
 
 
 def minhash_candidate_pairs(
-    sig: DataFrame, n_hashes: int = 8, bands: int = 1
+    sig: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 1,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band's concatenated signature.
 
     bands=1 → full-signature equality (highest precision). Returns
     (d1, d2) with d1 < d2, distinct.
+
+    ``max_bucket_size`` is the 100 TB safety valve: a degenerate band bucket
+    of m docs (near-empty docs, shared boilerplate) emits m(m-1)/2 pair rows
+    into ONE reducer — at web scale that single key kills the job.  Buckets
+    larger than the cap are dropped entirely before the self-join (they
+    carry ~no near-dup signal; true duplicate clusters are far smaller).
+    Use ``band_bucket_sizes`` to audit what a cap would drop.
     """
     rows = n_hashes // bands
     out = None
@@ -86,6 +96,14 @@ def minhash_candidate_pairs(
         banded = sig.select(
             "doc_id", F.concat_ws("|", *cols).alias("band_key")
         )
+        if max_bucket_size is not None:
+            ok = (
+                banded.groupBy("band_key")
+                .agg(F.count("*").alias("m"))
+                .filter(F.col("m") <= max_bucket_size)
+                .select("band_key")
+            )
+            banded = banded.join(ok, "band_key", "left_semi")
         j = (
             banded.alias("a")
             .join(banded.alias("b"), "band_key")
@@ -96,14 +114,49 @@ def minhash_candidate_pairs(
     return out.distinct()
 
 
+def band_bucket_sizes(sig: DataFrame, n_hashes: int = 8, bands: int = 1) -> DataFrame:
+    """Audit helper: (band, band_key, m) bucket histogram — run before
+    choosing ``max_bucket_size`` and log what a cap drops."""
+    rows = n_hashes // bands
+    out = None
+    for b in range(bands):
+        cols = [f"h{b * rows + i + 1}" for i in range(rows)]
+        g = (
+            sig.select(F.concat_ws("|", *cols).alias("band_key"))
+            .groupBy("band_key")
+            .agg(F.count("*").alias("m"))
+            .withColumn("band", F.lit(b))
+        )
+        out = g if out is None else out.unionByName(g)
+    return out
+
+
 def ngram_jaccard_pairs(
-    sh: DataFrame, threshold: float = 0.8, round_digits: int = 6
+    sh: DataFrame,
+    threshold: float = 0.8,
+    round_digits: int = 6,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingles: (d1, d2, jac) with jac ≥ threshold.
 
-    Shuffle key is the shingle (high cardinality → no skew); the pair
-    aggregation only sees co-occurring docs.
+    Shuffle key is the shingle; the pair aggregation only sees co-occurring
+    docs.  ``max_shingle_df`` caps the doc frequency of shingles entering
+    the self-join: a shingle present in m docs emits m(m-1)/2 pair rows into
+    one reducer, so at 100 TB a boilerplate shingle (license header,
+    generated code) is a job-killer.  Shingles with df > cap are dropped
+    from the WHOLE computation (sizes AND intersections), i.e. Jaccard is
+    computed exactly over the capped shingle universe — a hot shingle
+    shared by thousands of docs carries ~no similarity signal, and a true
+    near-dup pair loses it from numerator and denominator alike.
     """
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("a")

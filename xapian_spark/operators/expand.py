@@ -33,8 +33,14 @@ def eset_bo1(
     rset: list[int],
     maxitems: int = 10,
     exclude_terms: list[str] | None = None,
+    rank_round: int | None = None,
 ) -> DataFrame:
-    """Top-``maxitems`` expansion terms: (term, wt) ordered wt DESC, term ASC."""
+    """Top-``maxitems`` expansion terms: (term, wt) ordered wt DESC, term ASC.
+
+    ``rank_round``: rank on round(wt, n) instead of raw wt, so the selected
+    top-k set matches an oracle that orders by the rounded value (two terms
+    whose raw weights differ only past the n-th decimal tie identically on
+    both sides)."""
     if not rset:
         return spark.createDataFrame([], "term string, wt double")
     ids = sorted(set(int(i) for i in rset))
@@ -58,11 +64,10 @@ def eset_bo1(
         * (F.log((F.lit(1.0) + mean) / mean) / F.lit(log2))
         + F.log(F.lit(1.0) + mean) / F.lit(log2)
     )
-    return (
-        joined.select("term", wt.alias("wt"))
-        .orderBy(F.desc("wt"), F.asc("term"))
-        .limit(maxitems)
-    )
+    out = joined.select("term", wt.alias("wt"))
+    if rank_round is not None:
+        out = out.withColumn("wt", F.round(F.col("wt"), rank_round))
+    return out.orderBy(F.desc("wt"), F.asc("term")).limit(maxitems)
 
 
 def eset_bo1_oracle(oracle_ix, rset: list[int], maxitems: int = 10,

@@ -181,12 +181,17 @@ class Matcher:
         with_percent: bool = False,
         sort_by_value: str | None = None,
         sort_value_reverse: bool = False,
+        rank_round: int | None = None,
     ) -> MSetResult:
         """≈ Enquire::get_mset (api/enquire.cc:257-340).
 
         ``sort_by_value``: order by a docs-table column instead of weight
         (Enquire::set_sort_by_value, enquire.h:163-269); ties broken by
         docid ASC like the reference's VAL comparator (msetcmp.cc).
+
+        ``rank_round``: rank by round(weight, n) DESC, doc_id ASC instead of
+        raw weight — aligns the selected top-k set with oracles that order by
+        the rounded value (returned weights stay raw float64).
         """
         q = Q.normalize(q)
         if isinstance(q, Q.MatchNothing):
@@ -203,6 +208,8 @@ class Matcher:
                 F.desc(sort_by_value) if sort_value_reverse else F.asc(sort_by_value),
                 F.asc("doc_id"),
             ]
+        elif rank_round is not None:
+            order = [F.desc(F.round(F.col("weight"), rank_round)), F.asc("doc_id")]
         else:
             order = [F.desc("weight"), F.asc("doc_id")]
         ranked = matched.orderBy(*order).limit(first + maxitems)
@@ -321,6 +328,8 @@ class Matcher:
             w = self._weight_for(t, wqf, 1.0, stats)
             if w is not None:
                 weights[t] = w
+        # The kernel's bound/score columns encode the BM25 formula with the
+        # SCHEME's params (which may differ from self.params, e.g. Trad).
         return wand_topk(
             self.spark,
             self.index.postings,
@@ -328,7 +337,7 @@ class Matcher:
             stats,
             self.index.stats["doclen_lower_bound"],
             k,
-            self.params,
+            self.scheme.params,
         )
 
     def matches(self, q: Q.Query) -> DataFrame:

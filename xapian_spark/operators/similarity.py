@@ -4,15 +4,22 @@
   with JVM-side higher-order functions (zip_with + aggregate) — no Python,
   no UDF, scales linearly and parallelizes perfectly (embarrassingly
   parallel scan + TakeOrdered).
-- lsh_bucketed_topk: random-hyperplane LSH (sign of dot with md5-derived
-  pseudo-random planes) → candidates share ≥1 band bucket with the query →
-  exact cosine re-rank of candidates only. The scale path: bucket join
-  replaces the full scan.
+- AnnLshIndex: the scale path — random-hyperplane LSH signatures
+  (sign of dot with md5-derived pseudo-random planes) materialized ONCE at
+  index time into a (vec_id, band, bucket_key) bucket table; a query probes
+  its own ``bands`` bucket keys (a metadata-pruned filter, not a scan),
+  then exactly re-ranks only the candidates.  ``knn_join`` batches many
+  query vectors through the same bucket join.
+- lsh_bucketed_topk: one-shot convenience wrapper over AnnLshIndex for a
+  single query (builds the index unpersisted; prefer the class when asking
+  more than one query).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -68,6 +75,157 @@ def lsh_signature_col(vec_col: str, dim: int, n_planes: int = 16):
     return F.concat(*bits)
 
 
+def query_signature(qvec: list[float], n_planes: int = 16) -> str:
+    """Driver-side signature of one query vector (same md5 planes)."""
+    dim = len(qvec)
+    out = ""
+    for s in range(1, n_planes + 1):
+        p = _plane(dim, s)
+        out += "1" if sum(float(a) * b for a, b in zip(qvec, p)) > 0 else "0"
+    return out
+
+
+class AnnLshIndex:
+    """Materialized hyperplane-LSH ANN index.
+
+    Build cost: ONE pass over the embeddings computing the ``n_planes``-bit
+    signature per row (JVM-side zip_with/aggregate dot products), exploded
+    into a persisted bucket table ``(vec_id, band, bucket_key)`` plus a
+    vector table carrying the precomputed L2 norm.  Query cost: probe
+    ``bands`` bucket keys (an equality filter on the bucket table — at
+    scale, a bucketed/partitioned parquet read, never a full scan of the
+    vectors), then exact-cosine re-rank of the candidate set only.
+
+    At 100 TB the bucket table is written once (e.g. Iceberg, bucketed by
+    bucket_key) and each query touches only its own buckets.
+    """
+
+    def __init__(
+        self,
+        emb: DataFrame,
+        dim: int,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_planes: int = 16,
+        bands: int = 4,
+        persist: bool = True,
+    ):
+        if n_planes % bands:
+            raise ValueError("bands must divide n_planes")
+        self.dim = dim
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.n_planes = n_planes
+        self.bands = bands
+        self.width = n_planes // bands
+        v = F.col(vec_col)
+        base = emb.select(
+            F.col(id_col),
+            v,
+            lsh_signature_col(vec_col, dim, n_planes).alias("_sig"),
+            F.sqrt(_dot(v, v)).alias("_norm"),
+        )
+        parts = [
+            base.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.substring("_sig", b * self.width + 1, self.width).alias("bucket_key"),
+            )
+            for b in range(bands)
+        ]
+        buckets = parts[0]
+        for p in parts[1:]:
+            buckets = buckets.unionByName(p)
+        self.buckets = buckets
+        self.vectors = base.select(F.col(id_col), v, "_norm")
+        if persist:
+            self.buckets = self.buckets.persist()
+            self.vectors = self.vectors.persist()
+            self.buckets.count()
+
+    def _candidates(self, qsig: str) -> DataFrame:
+        """Distinct ids sharing ≥1 band bucket with the query signature."""
+        conds = None
+        for b in range(self.bands):
+            key = qsig[b * self.width : (b + 1) * self.width]
+            c = (F.col("band") == b) & (F.col("bucket_key") == key)
+            conds = c if conds is None else (conds | c)
+        return self.buckets.filter(conds).select(self.id_col).distinct()
+
+    def query(self, qvec: list[float], k: int = 10, round_digits: int = 4) -> DataFrame:
+        """Top-k (id, cos) — bucket probe + exact re-rank of candidates."""
+        qsig = query_signature(qvec, self.n_planes)
+        cand = self.vectors.join(
+            F.broadcast(self._candidates(qsig)), self.id_col, "left_semi"
+        )
+        q = F.array(*[F.lit(float(x)) for x in qvec])
+        qnorm = math.sqrt(sum(float(x) * float(x) for x in qvec))
+        cos = _dot(F.col(self.vec_col), q) / (F.col("_norm") * F.lit(qnorm))
+        scored = cand.select(
+            F.col(self.id_col), F.round(cos, round_digits).alias("cos")
+        )
+        return scored.orderBy(F.desc("cos"), F.asc(self.id_col)).limit(k)
+
+    def knn_join(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        qid_col: str = "qid",
+        qvec_col: str = "qvec",
+        round_digits: int = 4,
+    ) -> DataFrame:
+        """Batch ANN: for every query row, its top-k neighbours.
+
+        Output: (qid, vec_id, cos, rank).  Fully distributed — query
+        signatures are the same Column expression, candidates come from a
+        (band, bucket_key) equi-join (a plain shuffle/broadcast hash join),
+        re-rank is a windowed top-k per query.  No driver-side loop.
+        """
+        qv = F.col(qvec_col)
+        qbase = queries.select(
+            F.col(qid_col),
+            qv,
+            lsh_signature_col(qvec_col, self.dim, self.n_planes).alias("_qsig"),
+            F.sqrt(_dot(qv, qv)).alias("_qnorm"),
+        )
+        parts = [
+            qbase.select(
+                F.col(qid_col),
+                F.lit(b).alias("band"),
+                F.substring("_qsig", b * self.width + 1, self.width).alias("bucket_key"),
+            )
+            for b in range(self.bands)
+        ]
+        qbuckets = parts[0]
+        for p in parts[1:]:
+            qbuckets = qbuckets.unionByName(p)
+        pairs = (
+            qbuckets.join(self.buckets, ["band", "bucket_key"])
+            .select(qid_col, self.id_col)
+            .distinct()
+        )
+        j = pairs.join(self.vectors, self.id_col).join(
+            qbase.select(qid_col, qvec_col, "_qnorm"), qid_col
+        )
+        cos = _dot(F.col(self.vec_col), F.col(qvec_col)) / (
+            F.col("_norm") * F.col("_qnorm")
+        )
+        scored = j.select(
+            F.col(qid_col),
+            F.col(self.id_col),
+            F.round(cos, round_digits).alias("cos"),
+        )
+        w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.asc(self.id_col))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    def unpersist(self) -> None:
+        self.buckets.unpersist()
+        self.vectors.unpersist()
+
+
 def lsh_bucketed_topk(
     emb: DataFrame,
     qvec: list[float],
@@ -77,29 +235,14 @@ def lsh_bucketed_topk(
     n_planes: int = 16,
     bands: int = 4,
     round_digits: int = 4,
+    index: AnnLshIndex | None = None,
 ) -> DataFrame:
     """ANN: candidates = rows sharing ≥1 LSH band with the query, re-ranked
-    by exact cosine. Recall < 1 by construction (approximate)."""
-    dim = len(qvec)
-    sig = lsh_signature_col(vec_col, dim, n_planes)
-    width = n_planes // bands
-    # query signature computed driver-side with the same planes
-    import hashlib  # noqa: F401  (planes are md5-derived, see _plane)
-
-    qsig = ""
-    for s in range(1, n_planes + 1):
-        p = _plane(dim, s)
-        qsig += "1" if sum(float(a) * b for a, b in zip(qvec, p)) > 0 else "0"
-    conds = None
-    sigc = sig
-    with_sig = emb.withColumn("_sig", sigc)
-    for b in range(bands):
-        lo = b * width
-        cond = F.substring("_sig", lo + 1, width) == qsig[lo : lo + width]
-        conds = cond if conds is None else (conds | cond)
-    cand = with_sig.filter(conds)
-    scored = cand.select(
-        F.col(id_col),
-        F.round(cosine_col(vec_col, qvec), round_digits).alias("cos"),
-    )
-    return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+    by exact cosine.  Recall < 1 by construction (approximate).  Pass a
+    prebuilt ``index`` to amortize signature materialization across queries."""
+    if index is None:
+        index = AnnLshIndex(
+            emb, len(qvec), id_col=id_col, vec_col=vec_col,
+            n_planes=n_planes, bands=bands, persist=False,
+        )
+    return index.query(qvec, k=k, round_digits=round_digits)

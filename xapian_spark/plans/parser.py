@@ -10,13 +10,12 @@ include/xapian/queryparser.h:791) plus opt-in FLAG_WILDCARD:
   reference's precedence OR < XOR < AND/NOT < NEAR/ADJ/phrase
   (queryparser.lemony:2231-2234);
 - NEAR/n and ADJ/n positional operators (lemony:1534-1574) — ADJ maps to
-  OP_PHRASE (ordered), NEAR to OP_NEAR, default window = #terms + n with
-  n defaulting to... the reference uses window = number_of_terms + n where
-  n defaults to 0? — it uses n+_terms with default n... we use the Query
-  ctor default (window = #subqueries) when /n is absent, else #terms + n
-  is NOT applied: window = n + 1? We follow Query semantics: NEAR/k means
-  window = k + 1 terms span in the reference grammar; we take /k literally
-  as the window for clarity and document the divergence;
+  OP_PHRASE (ordered), NEAR to OP_NEAR.  Window math matches the reference
+  exactly (as_near_query/as_adj_query, lemony:2155-2173 →
+  as_opwindow_query:2041-2045): the op carries a width w (default 10, i.e.
+  "a NEAR b" = within 10 terms), and the final window is
+  (w - 1) + number_of_terms — so ``a NEAR b`` → window 11, ``a NEAR/5 b``
+  → window 6, ``a ADJ b c`` → window 12;
 - "quoted phrases" → OP_PHRASE with window = #terms;
 - +love / -hate prefixes: love terms are ANDed and AND_MAYBEd with the
   rest; hate terms are AND_NOTed (lovehate semantics);
@@ -190,7 +189,10 @@ class QueryParser:
                     terms.extend(side.children)
                 else:
                     raise ValueError(f"{op.kind} requires plain terms")
-            window = op.window if op.window is not None else len(terms)
+            # window = (width - 1) + #terms, width defaulting to 10
+            # (as_opwindow_query, queryparser.lemony:2041-2045,2155-2173)
+            width = op.window if op.window is not None else 10
+            window = (width - 1) + len(terms)
             cls = Q.Near if op.kind == "NEAR" else Q.Phrase
             left = cls(terms, window=window)
         return left, i

@@ -86,13 +86,29 @@ class MultiIndex:
         if not segs:
             raise FileNotFoundError(f"no committed segments under {self.root}")
         parts = [load_index(self.spark, s) for s in segs]
+
+        # Make (term, block_no) globally unique across segments: segments
+        # number blocks independently, so a shared term's block_no values
+        # collide in the union — the WAND kernel's left-semi joins on
+        # (term, block_no) would then pull both segments' blocks for one key
+        # and double-count candidate partials.  Salt the high bits with the
+        # segment ordinal (block_no = span_no<<32 | idx stays < 2^56 for any
+        # realistic span count; 128 segments fit in the remaining bits).
+        if len(parts) >= (1 << 7):
+            raise ValueError("MultiIndex supports at most 127 uncompacted segments")
+
+        def _salted(p, i):
+            return p.postings.withColumn(
+                "block_no", F.col("block_no") + F.lit(i << 56)
+            )
+
         docs = parts[0].docs
         dic = parts[0].dictionary
-        post = parts[0].postings
-        for p in parts[1:]:
+        post = _salted(parts[0], 0)
+        for i, p in enumerate(parts[1:], start=1):
             docs = docs.unionByName(p.docs)
             dic = dic.unionByName(p.dictionary)
-            post = post.unionByName(p.postings)
+            post = post.unionByName(_salted(p, i))
         # re-aggregate the dictionary across segments
         dic = dic.groupBy("term").agg(
             F.sum("termfreq").alias("termfreq"),
