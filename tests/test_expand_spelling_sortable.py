@@ -85,3 +85,32 @@ def test_sortable_known_bytes():
     assert S(0.0) == b"\x80"
     assert S(-math.inf) == b""
     assert S(math.inf) == b"\xff" * 9
+
+
+def test_edit_distance_query_node(spark, index, matcher, oracle):
+    """Q.EditDistance expands like OP_WILDCARD and scores identically to
+    the oracle's expansion (api/queryinternal.cc:317-380)."""
+    from tests.conftest import assert_mset_equal
+    from xapian_spark.plans import query as Q
+
+    for combiner in ("or", "synonym", "max"):
+        q = Q.EditDistance("returm", max_edit_distance=1, combiner=combiner)
+        got = matcher.mset_df(q, 10).collect()
+        want = oracle.mset(q, 10)
+        assert_mset_equal(got, want)
+
+
+def test_fuzzy_parser_flag():
+    from xapian_spark.plans import query as Q
+    from xapian_spark.plans.parser import DEFAULT_FLAGS, FLAG_FUZZY, QueryParser
+
+    p = QueryParser(flags=DEFAULT_FLAGS | FLAG_FUZZY)
+    q = p.parse_query("return~1")
+    assert isinstance(q, Q.EditDistance)
+    assert q.target == "return" and q.max_edit_distance == 1
+    q = p.parse_query("return~")
+    assert isinstance(q, Q.EditDistance) and q.max_edit_distance == 2
+    # without the flag, '~' stays part of the word (tokenizer strips it)
+    p2 = QueryParser()
+    q2 = p2.parse_query("return~1")
+    assert not isinstance(q2, Q.EditDistance)

@@ -86,3 +86,149 @@ def test_multiword_token_becomes_phrase():
 def test_pure_hate_raises():
     with pytest.raises(ValueError):
         P.parse_query("-banned")
+
+# ---- field prefixes + range processors (api_queryparser.cc prefix/range
+# sections; queryparser.h:1051-1169, 139-330) --------------------------------
+
+
+def _fp_parser():
+    p = QueryParser()
+    p.add_prefix("title", "S")
+    p.add_boolean_prefix("lang", "XL")
+    p.add_boolean_prefix("site", "H")
+    return p
+
+
+def test_probabilistic_prefix():
+    p = _fp_parser()
+    q = p.parse_query("title:search")
+    assert isinstance(q, Q.Term) and q.term == "Ssearch"
+
+
+def test_probabilistic_prefix_mixes_with_default_op():
+    p = _fp_parser()
+    q = p.parse_query("hash title:search")
+    assert isinstance(q, Q.Or)
+    assert {c.term for c in q.children} == {"hash", "Ssearch"}
+
+
+def test_prefix_quoted_phrase():
+    p = _fp_parser()
+    q = p.parse_query('title:"binary search"')
+    assert isinstance(q, Q.Phrase)
+    assert [c.term for c in q.children] == ["Sbinary", "Ssearch"]
+
+
+def test_boolean_prefix_filters():
+    p = _fp_parser()
+    q = p.parse_query("hash lang:en")
+    assert isinstance(q, Q.Filter)
+    assert q.left.term == "hash"
+    assert q.right.term == "XLen"
+
+
+def test_boolean_prefix_same_field_ors_across_fields_ands():
+    p = _fp_parser()
+    q = p.parse_query("hash lang:en lang:fr site:x")
+    assert isinstance(q, Q.Filter)
+    f = q.right
+    assert isinstance(f, Q.And)
+    ors = [c for c in f.children if isinstance(c, Q.Or)]
+    assert len(ors) == 1
+    assert {t.term for t in ors[0].children} == {"XLen", "XLfr"}
+
+
+def test_boolean_prefix_only_is_pure_boolean():
+    p = _fp_parser()
+    q = p.parse_query("lang:en")
+    assert isinstance(q, Q.ScaleWeight) and q.factor == 0.0
+    assert q.subquery.term == "XLen"
+
+
+def test_unregistered_field_stays_a_term():
+    p = _fp_parser()
+    q = p.parse_query("nosuch:word")
+    # tokenizer splits on ':' → phrase of (nosuch, word), like the reference
+    # treating unregistered fields as plain text
+    assert not isinstance(q, Q.Filter)
+
+
+def test_prefix_needs_colon():
+    from xapian_spark.functions.prefixes import make_term
+
+    assert make_term("XL", "en") == "XLen"
+    assert make_term("XL", "En") == "XL:En"  # uppercase start → colon
+    assert make_term("S", "En") == "SEn"  # 1-char prefix → never a colon
+    assert make_term("XL:", "En") == "XL:En"  # already ends with colon
+
+
+def test_number_range_processor():
+    from xapian_spark.plans.parser import NumberRangeProcessor
+
+    p = QueryParser()
+    p.add_rangeprocessor(NumberRangeProcessor(column="n_chars", field="chars"))
+    q = p.parse_query("hash chars:100..300")
+    assert isinstance(q, Q.Filter)
+    vr = q.right
+    assert isinstance(vr, Q.ValueRange)
+    assert (vr.column, vr.lo, vr.hi) == ("n_chars", 100, 300)
+    # open-ended
+    q = p.parse_query("hash chars:100..")
+    assert q.right.lo == 100 and q.right.hi is None
+    q = p.parse_query("hash chars:..300")
+    assert q.right.lo is None and q.right.hi == 300
+
+
+def test_bare_range_processor():
+    from xapian_spark.plans.parser import RangeProcessor
+
+    p = QueryParser()
+    p.add_rangeprocessor(RangeProcessor(column="date", field=""))
+    q = p.parse_query("hash 2024-01-01..2024-12-31")
+    assert isinstance(q, Q.Filter)
+    assert q.right.column == "date"
+    assert q.right.lo == "2024-01-01" and q.right.hi == "2024-12-31"
+
+
+def test_synonym_flag_and_table():
+    from xapian_spark.plans.parser import (
+        DEFAULT_FLAGS,
+        FLAG_AUTO_SYNONYMS,
+        FLAG_SYNONYM,
+        QueryParser,
+    )
+
+    p = QueryParser(flags=DEFAULT_FLAGS | FLAG_SYNONYM)
+    p.set_synonyms({"fast": ["quick", "rapid"]})
+    q = p.parse_query("~fast")
+    assert isinstance(q, Q.Synonym)
+    assert [c.term for c in q.children] == ["fast", "quick", "rapid"]
+    # no table entry → plain term
+    assert isinstance(p.parse_query("~slow"), Q.Term)
+    # without the flag, '~fast' is just a word ('~' stripped by tokenizer)
+    p2 = QueryParser()
+    p2.set_synonyms({"fast": ["quick"]})
+    assert isinstance(p2.parse_query("~fast"), Q.Term)
+
+    pa = QueryParser(flags=DEFAULT_FLAGS | FLAG_AUTO_SYNONYMS)
+    pa.set_synonyms({"fast": ["quick"]})
+    q = pa.parse_query("fast car")
+    assert isinstance(q, Q.Or)
+    assert isinstance(q.children[0], Q.Synonym)
+    assert isinstance(q.children[1], Q.Term)
+
+
+def test_synonyms_persist_in_index_metadata(tmp_path, spark, index):
+    from xapian_spark.plans.parser import DEFAULT_FLAGS, FLAG_SYNONYM, QueryParser
+    from xapian_spark.sources.catalog import load_index, save_index
+
+    index.add_synonym("fast", "quick")
+    index.set_metadata("owner", "tests")
+    save_index(index, str(tmp_path / "ix"))
+    ix2 = load_index(spark, str(tmp_path / "ix"))
+    assert ix2.synonyms("fast") == ["quick"]
+    assert ix2.get_metadata("owner") == "tests"
+    p = QueryParser(flags=DEFAULT_FLAGS | FLAG_SYNONYM)
+    p.use_synonyms(ix2)
+    q = p.parse_query("~fast")
+    assert isinstance(q, Q.Synonym)

@@ -62,3 +62,34 @@ def test_stopwords_engine_vs_oracle(spark, corpus):
     q = Q.Or([Q.Term("binary_search"), Q.Term("error")])
     assert_mset_equal(m.mset_df(q, 10).collect(), om.mset(q, 10))
     assert ix.stats["total_length"] == om.ix.total_length
+
+
+def test_percent_and_weight_cutoff(spark, matcher, oracle):
+    """set_cutoff (enquire.h:312): results below the percent/weight
+    thresholds are dropped; surviving set matches the oracle's percents."""
+    from xapian_spark.plans import query as Q
+
+    q = Q.Or([Q.Term("binary_search"), Q.Term("return")])
+    full = matcher.mset(q, maxitems=200, with_percent=True)
+    cut = matcher.mset(q, maxitems=200, with_percent=True, percent_cutoff=50)
+    keep = {d for d, p in full.percents.items() if p >= 50}
+    got = {r["doc_id"] for r in cut.df.collect()}
+    assert got == {d for d in keep if d in got} and got <= keep
+    # every returned doc meets the cutoff; no doc above it was dropped
+    full_ids = {r["doc_id"] for r in full.df.collect()}
+    assert got == keep & full_ids
+
+    wcut = matcher.mset(q, maxitems=200, weight_cutoff=0.4)
+    for r in wcut.df.collect():
+        assert r["weight"] >= 0.4
+
+
+def test_mset_bounds_surface(spark, matcher):
+    from xapian_spark.plans import query as Q
+
+    res = matcher.mset(Q.Term("return"), maxitems=5, with_count=True,
+                       with_percent=True)
+    assert res.matches_lower_bound == res.matches_estimated == res.matches_upper_bound
+    assert res.matches_estimated == res.matches
+    assert res.max_attained is not None and res.max_possible is not None
+    assert res.max_attained <= res.max_possible + 1e-12

@@ -5,8 +5,22 @@ import pytest
 
 from tests.conftest import N_DOCS, assert_mset_equal
 from xapian_spark.functions.weights import (
+    BB2Scheme,
+    BM25PlusScheme,
     BoolScheme,
     CoordScheme,
+    DiceScheme,
+    DLHScheme,
+    DPHScheme,
+    IfB2Scheme,
+    IneB2Scheme,
+    InL2Scheme,
+    LM2StageScheme,
+    LMAbsDiscountScheme,
+    LMDirichletScheme,
+    LMJMScheme,
+    PL2PlusScheme,
+    PL2Scheme,
     TfIdfScheme,
     TradScheme,
 )
@@ -18,6 +32,22 @@ SCHEMES = {
     "trad": lambda: TradScheme(),
     "coord": lambda: CoordScheme(),
     "bool": lambda: BoolScheme(),
+    # round-2 additions: the full weight.h:38-2231 set
+    "bm25plus": lambda: BM25PlusScheme(),
+    "inl2": lambda: InL2Scheme(),
+    "ifb2": lambda: IfB2Scheme(),
+    "ineb2": lambda: IneB2Scheme(),
+    "bb2": lambda: BB2Scheme(),
+    "dlh": lambda: DLHScheme(),
+    "pl2": lambda: PL2Scheme(),
+    "pl2plus": lambda: PL2PlusScheme(),
+    "dph": lambda: DPHScheme(),
+    "lmjm": lambda: LMJMScheme(),
+    "lmjm_fixed": lambda: LMJMScheme(0.5),
+    "lmdirichlet": lambda: LMDirichletScheme(),
+    "lmabsdiscount": lambda: LMAbsDiscountScheme(),
+    "lm2stage": lambda: LM2StageScheme(),
+    "dice": lambda: DiceScheme(),
 }
 
 QUERIES = [
@@ -61,3 +91,67 @@ def test_trad_equals_bm25_mapping(spark, index, oracle):
     assert [(r["doc_id"], r["weight"]) for r in a] == [
         (r["doc_id"], r["weight"]) for r in b
     ]
+
+
+def test_all_19_reference_schemes_present():
+    """weight.h:38-2231 lists 19 schemes; ALL_SCHEMES must cover them."""
+    from xapian_spark.functions.weights import ALL_SCHEMES
+
+    assert len(ALL_SCHEMES) == 19
+    assert set(ALL_SCHEMES) == {
+        "bool", "tfidf", "bm25", "bm25plus", "trad",
+        "inl2", "ifb2", "ineb2", "bb2", "dlh", "pl2", "pl2plus", "dph",
+        "lmjm", "lmdirichlet", "lmabsdiscount", "lm2stage",
+        "coord", "dice",
+    }
+
+
+def test_maxpart_is_upper_bound_per_scheme(spark, index, oracle):
+    """get_maxpart must bound every get_sumpart (the WAND invariant the
+    reference asserts implicitly via pruning correctness)."""
+    ix = oracle.ix
+    stats = {
+        "doccount": ix.doccount,
+        "avg_length": ix.avg_length,
+        "total_length": ix.total_length,
+        "doclen_lower_bound": min(ix.doclens.values()),
+        "doclen_upper_bound": max(ix.doclens.values()),
+        "uniqterms_lower_bound": 1,
+    }
+    dlb = stats["doclen_lower_bound"]
+    # Schemes whose idf-like constant goes NEGATIVE on ultra-hot terms
+    # (tfidf idf='prob': tf > N/2; IfB2/IneB2: collection freq F > N+0.5).
+    # With a negative multiplier, evaluating at wdf_max minimizes rather
+    # than maximizes — the REFERENCE's own get_maxpart has the identical
+    # behavior (ifb2weight.cc:96), and the prune path never uses non-BM25
+    # maxpart, so the invariant is only asserted where the scheme's
+    # assumptions hold.
+    for name, mk in SCHEMES.items():
+        if name == "tfidf_log_prob":
+            # idf='prob' is negative for ANY term in > half the docs (which
+            # includes every term of this dense test corpus) — maxpart then
+            # minimizes; never used for pruning (BM25-gated).
+            continue
+        scheme = mk()
+        for term in ("return", "if", "binary_search"):
+            plist = ix.postings.get(term)
+            if not plist:
+                continue
+            cf = sum(len(p) for p in plist.values())
+            w = scheme.init(
+                termfreq=len(plist), collfreq=cf, stats=stats, wqf=1,
+                factor=1.0, query_length=1,
+            )
+            if getattr(w, "wqf_product_idf", 1.0) < 0:
+                # IfB2/IneB2 idf uses collection freq F and goes negative
+                # when F > N+0.5 (every term of this dense corpus); the
+                # reference's own bound formula (ifb2weight.cc:96) has the
+                # same behavior, and the prune path never uses these —
+                # the invariant only holds in the positive-idf regime.
+                continue
+            wdf_max = max(len(p) for p in plist.values())
+            bound = w.maxpart(wdf_max, dlb)
+            for d, poss in plist.items():
+                uniq = sum(1 for pl in ix.postings.values() if d in pl)
+                sp = w.sumpart(len(poss), ix.doclens[d], uniq)
+                assert sp <= bound + 1e-9, (name, term, d, sp, bound)

@@ -74,3 +74,39 @@ def test_parser_stemming(spark):
     assert [c.term for c in ph.children] == ["running", "fast"]
     # numbers are not stemmed (should_stem)
     assert p.parse_query("123").term == "123"
+
+
+SV_GOLD = "/root/reference/xapian-data/stemming/swedish"
+PORTER_GOLD = "/root/reference/xapian-data/stemming/porter"
+
+
+@pytest.mark.skipif(not os.path.isdir(SV_GOLD), reason="reference goldens absent")
+def test_swedish_full_golden_vocabulary():
+    from xapian_spark.functions.stem_sv import stem_swedish
+
+    voc = open(f"{SV_GOLD}/voc.txt", encoding="utf-8").read().splitlines()
+    out = open(f"{SV_GOLD}/output.txt", encoding="utf-8").read().splitlines()
+    assert len(voc) == len(out) and len(voc) > 30000
+    bad = [(v, stem_swedish(v), o) for v, o in zip(voc, out) if stem_swedish(v) != o]
+    assert not bad, bad[:10]
+
+
+@pytest.mark.skipif(not os.path.isdir(PORTER_GOLD), reason="reference goldens absent")
+def test_porter_full_golden_vocabulary():
+    from xapian_spark.functions.stem_porter import stem_porter
+
+    voc = open(f"{PORTER_GOLD}/voc.txt").read().splitlines()
+    out = open(f"{PORTER_GOLD}/output.txt").read().splitlines()
+    assert len(voc) == len(out) and len(voc) > 40000
+    bad = [(v, stem_porter(v), o) for v, o in zip(voc, out) if stem_porter(v) != o]
+    assert not bad, bad[:10]
+
+
+def test_stemmer_registry():
+    from xapian_spark.functions.stemmers import get_stemmer
+
+    assert get_stemmer("sv")("flickorna") == "flick"
+    assert get_stemmer("porter")("running") == "run"
+    assert get_stemmer("english")("running") == "run"
+    with pytest.raises(ValueError):
+        get_stemmer("xx")

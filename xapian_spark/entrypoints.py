@@ -45,6 +45,9 @@ def get_matcher(spark: SparkSession, sf_dir: str) -> Matcher:
             meta_cols=["lang", "source", "n_chars"],
             mode="simple",
             with_positions=True,
+            # boolean filter terms (wdf 0, outside all BM25 stats) backing
+            # the query parser's boolean prefixes: lang:en → XLen
+            boolean_fields={"lang": "XL", "source": "XSOURCE"},
         )
         # coalesce before persist: at these sf sizes the tables are a few
         # thousand rows — fewer cached partitions = fewer tasks per query
@@ -296,6 +299,34 @@ FROM post JOIN tw ON post.term = tw.term JOIN dl ON dl.doc_id = post.doc_id
 GROUP BY post.doc_id ORDER BY score DESC, post.doc_id ASC LIMIT 20""",
 )
 
+def _q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP_EDIT_DISTANCE as a query node (query.h:269): expand 'hsah'~2
+    against the dictionary and score as an OR.  metric='levenshtein' so the
+    DuckDB oracle (no OSA) mirrors exactly."""
+    m = get_matcher(spark, sf_dir)
+    q = Q.EditDistance("hsah", max_edit_distance=2, combiner="or", metric="levenshtein")
+    return _topk(m, q, 20)
+
+
+_register(
+    "bm25_fuzzy",
+    _q_fuzzy,
+    _PRELUDE
+    + f"""
+, tw AS (
+  SELECT ts.term,
+         ln(CASE WHEN ((st.n - ts.tf + 0.5) / (ts.tf + 0.5)) < 2
+                 THEN ((st.n - ts.tf + 0.5) / (ts.tf + 0.5)) * 0.5 + 1
+                 ELSE ((st.n - ts.tf + 0.5) / (ts.tf + 0.5)) END) * 2.0 AS w,
+         (1.0 / st.avg_len) AS lf
+  FROM tstat ts, st WHERE levenshtein('hsah', ts.term) <= 2
+)
+SELECT post.doc_id AS doc_id, round(sum({_SCORE}), {ROUND}) AS score
+FROM post JOIN tw ON post.term = tw.term JOIN dl ON dl.doc_id = post.doc_id
+GROUP BY post.doc_id ORDER BY score DESC, post.doc_id ASC LIMIT 20""",
+)
+
+
 _POSPRELUDE = r"""
 , tokpos AS (
   SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p FROM arr
@@ -349,6 +380,102 @@ SELECT s.doc_id, round(sum(s.s), {ROUND}) AS score
 FROM scored s
 WHERE s.doc_id IN (SELECT doc_id FROM documents WHERE n_chars BETWEEN 100 AND 300)
 GROUP BY s.doc_id ORDER BY score DESC, doc_id ASC LIMIT 50""",
+    ),
+)
+
+
+def _q_pl2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PL2 DFR weighting (weight/pl2weight.cc, c=1) over the same index —
+    proves the non-BM25 scheme seam end-to-end against a SQL oracle."""
+    from .functions.weights import PL2Scheme
+    from .operators.matcher import Matcher
+
+    m = get_matcher(spark, sf_dir)
+    m2 = Matcher(spark, m.index, scheme=PL2Scheme())
+    return _topk(m2, Q.Or([Q.Term("hash"), Q.Term("join")]), 20)
+
+
+_register(
+    "pl2_topk",
+    _q_pl2,
+    _PRELUDE
+    + """
+, qt(term, ord) AS (VALUES ('hash', 1), ('join', 2))
+, cst AS (
+  -- pl2weight.cc init: P1 = mean/ln2 + 0.5*log2(2π); P2 = log2(mean) + 1/ln2
+  SELECT qt.term, qt.ord,
+         (ts.cf::DOUBLE / st.n) * (1.0 / ln(2.0)) + 0.5 * log2(2.0 * pi()) AS p1,
+         log2(ts.cf::DOUBLE / st.n) + 1.0 / ln(2.0) AS p2,
+         st.avg_len AS cl
+  FROM qt JOIN tstat ts ON ts.term = qt.term, st
+)
+, sc AS (
+  SELECT post.doc_id, cst.ord,
+         post.wdf::DOUBLE * log2(1 + cst.cl / dl.doc_len) AS wdfn,
+         cst.p1, cst.p2
+  FROM post JOIN cst ON post.term = cst.term JOIN dl ON dl.doc_id = post.doc_id
+)
+, sc2 AS (
+  SELECT doc_id, ord,
+         CASE WHEN (p1 + (wdfn + 0.5) * log2(wdfn) - p2 * wdfn) <= 0 THEN 0.0
+              ELSE (p1 + (wdfn + 0.5) * log2(wdfn) - p2 * wdfn) / (wdfn + 1.0)
+         END AS s
+  FROM sc
+)
+SELECT doc_id, round(sum(s), 6) AS score
+FROM sc2 GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 20""",
+)
+
+
+def _q_field_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryParser boolean field prefix: ``lang:en`` filters via the wdf-0
+    boolean term XLen in the REAL index (queryparser.h:1101-1169 +
+    termprefixes.rst)."""
+    from .plans.parser import QueryParser
+
+    m = get_matcher(spark, sf_dir)
+    p = QueryParser(mode="simple")
+    p.add_boolean_prefix("lang", "XL")
+    q = p.parse_query("hash join lang:en")
+    return _topk(m, q, 20)
+
+
+_register(
+    "bm25_field_prefix",
+    _q_field_prefix,
+    _bm25_sql(
+        ["hash", "join"],
+        f"""
+SELECT s.doc_id, round(sum(s.s), {ROUND}) AS score
+FROM scored s WHERE s.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+GROUP BY s.doc_id ORDER BY score DESC, doc_id ASC LIMIT 20""",
+    ),
+)
+
+
+def _q_parsed_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryParser NumberRangeProcessor: ``chars:150..400`` lowers to
+    OP_VALUE_RANGE on the n_chars docs column (queryparser.h:139-330)."""
+    from .plans.parser import NumberRangeProcessor, QueryParser
+
+    m = get_matcher(spark, sf_dir)
+    p = QueryParser(mode="simple")
+    p.add_rangeprocessor(NumberRangeProcessor(column="n_chars", field="chars"))
+    q = p.parse_query("hash chars:150..400")
+    return _topk(m, q, 30)
+
+
+_register(
+    "bm25_parsed_range",
+    _q_parsed_range,
+    _bm25_sql(
+        ["hash"],
+        f"""
+SELECT s.doc_id, round(sum(s.s), {ROUND}) AS score
+FROM scored s
+WHERE s.doc_id IN (SELECT doc_id FROM documents WHERE n_chars BETWEEN 150 AND 400)
+GROUP BY s.doc_id ORDER BY score DESC, doc_id ASC LIMIT 30""",
     ),
 )
 
@@ -817,6 +944,51 @@ SELECT t.doc_id, round(t.w, {ROUND}) AS score,
          floor(t.w * (100.0 / mp.m) + 100.0 * 2.220446049250313e-16)))::INT AS percent
 FROM tops t, mp
 ORDER BY score DESC, doc_id ASC""",
+    ),
+)
+
+
+def _q_percent_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enquire::set_cutoff (enquire.h:312): drop matches whose percent
+    score is below the threshold — exact convert_to_percent math."""
+    m = get_matcher(spark, sf_dir)
+    q = Q.Or([Q.Term("hash"), Q.Term("join")])
+    res = m.mset(
+        q, maxitems=50, with_percent=True, rank_round=ROUND, percent_cutoff=40
+    )
+    rows = [
+        (r["doc_id"], round(r["weight"], ROUND), res.percents[r["doc_id"]])
+        for r in res.df.collect()
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double, percent int")
+
+
+_register(
+    "bm25_percent_cutoff",
+    _q_percent_cutoff,
+    _bm25_sql(
+        ["hash", "join"],
+        f"""
+, persum AS (
+  SELECT doc_id, sum(s) AS w FROM scored GROUP BY doc_id
+), mp AS (
+  SELECT GREATEST(
+    (SELECT sum(tw.w * (ts.wdf_max::DOUBLE /
+        ((GREATEST(GREATEST(ts.wdf_max::DOUBLE,
+                            (SELECT min(doc_len) FROM dl)::DOUBLE) * tw.lf, 0.5)
+          * 0.5 + 0.5) + ts.wdf_max::DOUBLE)))
+     FROM tw JOIN tstat ts ON ts.term = tw.term),
+    (SELECT max(w) FROM persum)) AS m
+), pct AS (
+  SELECT p.doc_id, p.w,
+         LEAST(100, GREATEST(1,
+           floor(p.w * (100.0 / mp.m) + 100.0 * 2.220446049250313e-16)))::INT
+           AS percent
+  FROM persum p, mp
+)
+SELECT doc_id, round(w, {ROUND}) AS score, percent
+FROM pct WHERE percent >= 40
+ORDER BY round(w, {ROUND}) DESC, doc_id ASC LIMIT 50""",
     ),
 )
 

@@ -1,0 +1,32 @@
+"""Stemmer registry — Xapian::Stem's language dispatch
+(xapian-core/languages/stem.cc; aliases per the `// Alias:` headers of
+languages/algorithms/*.sbl).
+
+Each entry is a golden-validated pure-Python Snowball port (full reference
+vocabulary, 0 mismatches — tests/test_stemmer.py).  The tokenizer UDFs
+close over the chosen function, so executors run it vectorized per batch
+with no per-call dispatch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+
+def get_stemmer(lang: str) -> Callable[[str], str]:
+    lang = lang.lower()
+    if lang in ("en", "english"):
+        from .stem_en import stem_english
+
+        return stem_english
+    if lang in ("sv", "swedish"):
+        from .stem_sv import stem_swedish
+
+        return stem_swedish
+    if lang == "porter":
+        from .stem_porter import stem_porter
+
+        return stem_porter
+    raise ValueError(
+        f"unsupported stemmer {lang!r} (available: en, sv, porter)"
+    )

@@ -53,6 +53,10 @@ def eset_bo1(
         F.sum("wdf").cast("long").alias("rcollfreq"),
         F.count("*").cast("long").alias("rtermfreq"),
     )
+    # wdf-0 boolean filter terms (field prefixes) carry no Bo1 evidence and
+    # would divide by collfreq 0 — drop them (the reference would surface
+    # them and users filter with an ExpandDecider; we build the decider in)
+    per_term = per_term.filter(F.col("rcollfreq") > 0)
     if exclude_terms:
         per_term = per_term.filter(~F.col("term").isin(list(exclude_terms)))
     n = float(index.stats["doccount"])

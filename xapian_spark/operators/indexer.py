@@ -49,6 +49,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions import codec
+from ..functions.prefixes import make_term
 from ..functions.tokenizer import simple_tokenize, xapian_tokenize
 
 DEFAULT_BLOCK_SIZE = 4096  # postings per block (≈ glass chunk granularity)
@@ -110,6 +111,36 @@ class IndexTables:
     #: logically-deleted docs (doc_id) — anti-joined at match time, removed
     #: physically at compaction (delete_document semantics, database.h:1016+)
     tombstones: DataFrame | None = None
+    #: user metadata KV store (get_metadata/set_metadata,
+    #: include/xapian/database.h:647+ + backends/glass/glass_metadata.*);
+    #: persisted atomically with the snapshot manifest on save_index.
+    #: The SYNONYM_KEY entry holds the query-expansion synonym table
+    #: (glass_synonym.h analog): term → [synonyms].
+    metadata: dict = field(default_factory=dict)
+
+    SYNONYM_KEY = "xapian.synonyms"
+
+    def get_metadata(self, key: str, default=None):
+        return self.metadata.get(key, default)
+
+    def set_metadata(self, key: str, value) -> None:
+        self.metadata[key] = value
+
+    # -- synonym table (query-expansion dictionary, distinct from
+    #    OP_SYNONYM; backends/glass/glass_synonym.*) ----------------------
+    def add_synonym(self, term: str, synonym: str) -> None:
+        syns = self.metadata.setdefault(self.SYNONYM_KEY, {})
+        lst = syns.setdefault(term, [])
+        if synonym not in lst:
+            lst.append(synonym)
+
+    def remove_synonym(self, term: str, synonym: str) -> None:
+        syns = self.metadata.get(self.SYNONYM_KEY, {})
+        if term in syns and synonym in syns[term]:
+            syns[term].remove(synonym)
+
+    def synonyms(self, term: str) -> list[str]:
+        return list(self.metadata.get(self.SYNONYM_KEY, {}).get(term, []))
 
 
 def invert_corpus(
@@ -121,6 +152,7 @@ def invert_corpus(
     stopwords: frozenset[str] | None = None,
     stem: str | None = None,
     stem_strategy: str = "some",
+    boolean_fields: dict[str, str] | None = None,
 ) -> DataFrame:
     """Corpus → flat postings (doc_id, term, wdf, positions).
 
@@ -140,6 +172,13 @@ def invert_corpus(
     - 'all_z': Z-prefixed stemmed positional terms.
     Stemming skips terms whose first character isn't a lower/title/modifier/
     other letter (should_stem, termgenerator_internal.cc:63-74).
+
+    ``boolean_fields``: column → term prefix.  Each doc gains one boolean
+    term ``prefix[:​]value`` per field (add_boolean_term ≡ add_term(t, 0),
+    omega termprefixes.rst:55-105): wdf = 0, no positions, and NOT counted
+    in doc_len — so they filter (OP_FILTER / boolean prefixes in the query
+    parser) without perturbing any BM25 statistic.  Values are used verbatim
+    (boolean terms bypass the term generator in the reference too).
     """
     base_tok = xapian_tokenize if mode == "xapian" else simple_tokenize
     if stopwords:
@@ -152,11 +191,14 @@ def invert_corpus(
         tok = base_tok
     stemmer = None
     if stem is not None:
-        if stem not in ("en", "english"):
-            raise ValueError(f"unsupported stemmer {stem!r} (round 1: 'en')")
-        from ..functions.stem_en import stem_english as stemmer  # noqa: F811
+        from ..functions.stemmers import get_stemmer
+
+        stemmer = get_stemmer(stem)
+    bool_fields = dict(boolean_fields or {})
     src = corpus.select(
-        F.col(id_col).cast("long").alias("doc_id"), F.col(content_col).alias("_content")
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(content_col).alias("_content"),
+        *[F.col(c).cast("string").alias(f"_bf_{c}") for c in bool_fields],
     )
 
     enc = _encode_poslist if with_positions else None
@@ -196,6 +238,9 @@ def invert_corpus(
             out_pos: list[bytes | None] = []
             ids = pdf["doc_id"].to_numpy()
             texts = pdf["_content"].to_numpy(dtype=object)
+            bf_vals = {
+                c: pdf[f"_bf_{c}"].to_numpy(dtype=object) for c in bool_fields
+            }
             for r in range(len(ids)):
                 text = texts[r]
                 if not isinstance(text, str):
@@ -209,6 +254,20 @@ def invert_corpus(
                     out_npos.append(len(poss))
                     out_len.append(dlen)
                     out_pos.append(enc(poss) if enc else None)
+                # boolean field terms: wdf 0, positionless, doc_len untouched
+                for c, prefix in bool_fields.items():
+                    v = bf_vals[c][r]
+                    if not isinstance(v, str) or not v:
+                        continue
+                    bt = make_term(prefix, v)
+                    if bt in acc:
+                        continue  # already indexed as a content term
+                    out_doc.append(did)
+                    out_term.append(bt)
+                    out_wdf.append(0)
+                    out_npos.append(0)
+                    out_len.append(dlen)
+                    out_pos.append(enc([]) if enc else None)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(out_doc, dtype="int64"),
@@ -340,22 +399,33 @@ def build_index(
     stopwords: frozenset[str] | None = None,
     stem: str | None = None,
     stem_strategy: str = "some",
+    boolean_fields: dict[str, str] | None = None,
 ) -> IndexTables:
     """Build docs/dictionary/postings/stats from a corpus DataFrame.
 
     ``flat_postings`` lets a checkpointed build inject pre-staged inversion
     output (see sources/checkpoint.py) so the merge phase is shared.
+    ``boolean_fields`` (column → term prefix) adds wdf-0 boolean filter
+    terms per doc — see invert_corpus.
     """
     flat = flat_postings
     if flat is None:
         flat = invert_corpus(
             corpus, id_col, content_col, mode, with_positions,
             stopwords=stopwords, stem=stem, stem_strategy=stem_strategy,
+            boolean_fields=boolean_fields,
         )
     # Persist: consumed by doclens, dictionary and blocks.
     flat = flat.persist()
 
-    doclens = flat.groupBy("doc_id").agg(F.max("doc_len").cast("long").alias("doc_len"))
+    doclens = flat.groupBy("doc_id").agg(
+        F.max("doc_len").cast("long").alias("doc_len"),
+        # distinct wdf>0 terms per doc (get_unique_terms, database.h:409);
+        # wdf-0 boolean field terms don't count
+        F.sum(F.when(F.col("wdf") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("uniq_terms"),
+    )
 
     meta_cols = meta_cols or []
     doc_side = [F.col(id_col).cast("long").alias("doc_id")] + [
@@ -367,6 +437,9 @@ def build_index(
         corpus.select(*doc_side)
         .join(doclens, "doc_id", "left")
         .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)).cast("long"))
+        .withColumn(
+            "uniq_terms", F.coalesce(F.col("uniq_terms"), F.lit(0)).cast("long")
+        )
     )
 
     dictionary = flat.groupBy("term").agg(
@@ -382,6 +455,10 @@ def build_index(
             F.sum("doc_len").alias("total_length"),
             F.min("doc_len").alias("doclen_lower_bound"),
             F.max("doc_len").alias("doclen_upper_bound"),
+            F.min(F.when(F.col("uniq_terms") > 0, F.col("uniq_terms"))).alias(
+                "uniq_lb"
+            ),
+            F.max("uniq_terms").alias("uniq_ub"),
         )
         .crossJoin(corpus.agg(F.count("*").alias("doccount")))
         .crossJoin(
@@ -406,6 +483,10 @@ def build_index(
         if total_docs > n_nonempty
         else int(st["doclen_lower_bound"] or 0),
         "doclen_upper_bound": int(st["doclen_upper_bound"] or 0),
+        # unique-term-count bounds over matching (non-empty) docs
+        # (get_unique_terms_lower_bound/upper_bound, database.h:409-415)
+        "uniqterms_lower_bound": int(st["uniq_lb"] or 1),
+        "uniqterms_upper_bound": int(st["uniq_ub"] or 0),
     }
 
     # Adaptive span: expected ~block_size postings per (term, span) group.
@@ -458,5 +539,6 @@ def build_index(
             "mode": mode,
             "with_positions": with_positions,
             "block_size": block_size,
+            "boolean_fields": dict(boolean_fields or {}),
         },
     )

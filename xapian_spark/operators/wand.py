@@ -158,27 +158,31 @@ def wand_topk(
         F.col("partial")
         + F.greatest(F.lit(total_gmax) - F.col("seen_gmax"), F.lit(0.0))
         >= F.lit(theta2 - eps)
-    )
-    cand_rows = cand.select("doc_id", "partial").collect()
-    cand_ids = [r["doc_id"] for r in cand_rows]
+    ).persist()
 
     # ---- Phase 3: exact rescore of candidates against PRUNED blocks whose
-    # docid range covers them (cheap: block metadata exists-filter) ----
-    if math.isfinite(theta) and cand_ids:
+    # docid range covers them.  The candidate set stays a DataFrame end to
+    # end (no driver round-trip / no literal id list — the filter can pass
+    # many docs when bounds are loose): a broadcast range-join marks the
+    # pruned blocks any candidate falls into, and a broadcast semi-join
+    # restricts the decoded extra scores to candidates.
+    if math.isfinite(theta):
+        cand_ids_df = cand.select("doc_id")
         pruned_keys = meta.filter(
             F.col("bound") + F.col("rest") < F.lit(theta - eps)
         ).select("term", "block_no", "first_docid", "last_docid")
-        ids_arr = F.array(*[F.lit(int(i)) for i in sorted(cand_ids)])
-        touching = pruned_keys.filter(
-            F.exists(
-                ids_arr,
-                lambda c: (c >= F.col("first_docid")) & (c <= F.col("last_docid")),
+        touching = (
+            pruned_keys.join(
+                F.broadcast(cand_ids_df),
+                (F.col("doc_id") >= F.col("first_docid"))
+                & (F.col("doc_id") <= F.col("last_docid")),
+                "left_semi",
             )
         ).select("term", "block_no")
         extra_blocks = postings.join(F.broadcast(touching), ["term", "block_no"], "left_semi")
         extra = (
             _score_decoded(extra_blocks, consts, params)
-            .filter(F.col("doc_id").isin(cand_ids))
+            .join(F.broadcast(cand_ids_df), "doc_id", "left_semi")
             .groupBy("doc_id")
             .agg(F.sum("s").alias("extra"))
         )

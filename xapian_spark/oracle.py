@@ -47,7 +47,9 @@ def build_oracle_index(
     stop = frozenset(stopwords) if stopwords else None
     stemmer = None
     if stem is not None:
-        from .functions.stem_en import stem_english as stemmer
+        from .functions.stemmers import get_stemmer
+
+        stemmer = get_stemmer(stem)
     from .operators.indexer import _should_stem
 
     ix = OracleIndex()
@@ -87,12 +89,30 @@ class OracleMatcher:
         self.ix = ix
         self.params = params
         self.scheme = scheme if scheme is not None else BM25Scheme(params)
+        self._ql = 1
+        self._uniq_cache: dict[int, int] | None = None
+
+    def _uniq(self, d: int) -> int:
+        """Distinct wdf>0 terms of doc d (get_unique_terms)."""
+        if self._uniq_cache is None:
+            cache: dict[int, int] = {}
+            for plist in self.ix.postings.values():
+                for doc in plist:
+                    cache[doc] = cache.get(doc, 0) + 1
+            self._uniq_cache = cache
+        return self._uniq_cache.get(d, 0)
 
     def _stats(self) -> dict:
+        dl = self.ix.doclens.values()
+        uniq = [self._uniq(d) for d in self.ix.doclens]
         return {
             "doccount": self.ix.doccount,
             "avg_length": self.ix.avg_length,
             "total_length": self.ix.total_length,
+            "doclen_lower_bound": min(dl, default=0),
+            "doclen_upper_bound": max(dl, default=0),
+            "uniqterms_lower_bound": min((u for u in uniq if u > 0), default=1),
+            "uniqterms_upper_bound": max(uniq, default=0),
         }
 
     def _init_term(self, termfreq: int, collfreq: int, wqf: int, factor: float):
@@ -102,6 +122,7 @@ class OracleMatcher:
             stats=self._stats(),
             wqf=wqf,
             factor=factor,
+            query_length=self._ql,
         )
 
     # (docid → weight) maps; None weight marks pure-boolean results
@@ -114,7 +135,8 @@ class OracleMatcher:
             collfreq = sum(len(p) for p in plist.values())
             w = self._init_term(len(plist), collfreq, q.wqf, factor)
             return {
-                d: w.sumpart(len(poss), ix.doclens[d]) for d, poss in plist.items()
+                d: w.sumpart(len(poss), ix.doclens[d], self._uniq(d))
+                for d, poss in plist.items()
             }
         if isinstance(q, Q.MatchAll):
             return {d: 0.0 for d in ix.doclens}
@@ -191,6 +213,43 @@ class OracleMatcher:
             leaves: list[Q.Query] = [Q.Term(t) for t in terms]
             comb = {"or": Q.Or, "max": Q.MaxOp}.get(q.combiner, Q.Synonym)
             return self._weights(comb(leaves), factor)
+        if isinstance(q, Q.EditDistance):
+            from .operators.spelling import edit_distance
+
+            def dist(t):
+                if q.metric == "levenshtein":
+                    # plain Levenshtein via DP without the transposition row
+                    la, lb = len(q.target), len(t)
+                    prev = list(range(lb + 1))
+                    for i in range(1, la + 1):
+                        cur = [i] + [0] * lb
+                        for j in range(1, lb + 1):
+                            cost = 0 if q.target[i - 1] == t[j - 1] else 1
+                            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+                        prev = cur
+                    return prev[lb]
+                return edit_distance(q.target, t)
+
+            skip_ucase = not q.target[:1].isupper()
+            terms = sorted(
+                t
+                for t in self.ix.postings
+                if not (skip_ucase and "A" <= t[:1] <= "Z")
+                and dist(t) <= q.max_edit_distance
+            )
+            if q.max_expansion and len(terms) > q.max_expansion:
+                if q.limit_policy == "most_frequent":
+                    terms.sort(key=lambda t: (-len(self.ix.postings[t]), t))
+                    terms = sorted(terms[: q.max_expansion])
+                elif q.limit_policy == "first":
+                    terms = terms[: q.max_expansion]
+                else:
+                    raise ValueError("edit-distance expansion over limit")
+            if not terms:
+                return {}
+            leaves2: list[Q.Query] = [Q.Term(t) for t in terms]
+            comb = {"or": Q.Or, "max": Q.MaxOp}.get(q.combiner, Q.Synonym)
+            return self._weights(comb(leaves2), factor)
         if isinstance(q, Q.EliteSet):
             scored = []
             for i, c in enumerate(q.children):
@@ -224,7 +283,7 @@ class OracleMatcher:
         )
         w = self._init_term(len(merged), cf, 1, factor)
         return {
-            d: w.sumpart(min(wdf, ix.doclens[d]), ix.doclens[d])
+            d: w.sumpart(min(wdf, ix.doclens[d]), ix.doclens[d], self._uniq(d))
             for d, wdf in merged.items()
         }
 
@@ -252,6 +311,9 @@ class OracleMatcher:
         q = Q.normalize(q)
         if isinstance(q, Q.MatchNothing):
             return []
+        from .operators.matcher import _query_len
+
+        self._ql = max(_query_len(q), 1)
         weights = self._weights(q, 1.0)
         ranked = sorted(weights.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]

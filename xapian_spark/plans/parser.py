@@ -21,10 +21,27 @@ include/xapian/queryparser.h:791) plus opt-in FLAG_WILDCARD:
   rest; hate terms are AND_NOTed (lovehate semantics);
 - trailing ``*`` → OP_WILDCARD when enabled;
 - term production uses the SAME tokenizer as indexing (queryparser and
-  TermGenerator share parse_terms in the reference).
+  TermGenerator share parse_terms in the reference);
+- field prefixes (queryparser.h:1051-1169, termprefixes.rst:55-105):
+  ``add_prefix('title', 'S')`` makes ``title:word`` produce the
+  probabilistic term ``Sword`` (stemmed: ``ZSstem`` — Z before the field
+  prefix, as the reference generates); ``add_boolean_prefix('lang', 'XL')``
+  makes ``lang:value`` a FILTER term ``XLvalue`` (value verbatim, wdf-0
+  boolean term) — same-field filters OR together, different fields AND,
+  and the whole filter set applies as OP_FILTER over the probabilistic
+  part (a filters-only query is pure boolean, weight 0);
+- range processors (queryparser.h:139-330): ``add_rangeprocessor``
+  registers Str/NumberRangeProcessor instances; ``field:lo..hi`` (or bare
+  ``lo..hi`` for a processor with field='') lowers to OP_VALUE_RANGE over
+  the processor's docs-table column — our engine's value slots are typed
+  columns, so NumberRangeProcessor casts instead of sortable_serialise.
 
 Multi-word tokens inside one query word (e.g. typing ``don't``) produce the
 same single term the indexer would.
+
+Divergence (documented): the reference hoists boolean filters to the top
+level of the whole prompt; we apply them within the primary group they
+appear in — identical for the common flat query shapes.
 """
 
 from __future__ import annotations
@@ -32,6 +49,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
+from ..functions.prefixes import make_term
 from ..functions.tokenizer import simple_tokenize, xapian_tokenize
 from . import query as Q
 
@@ -39,7 +57,40 @@ FLAG_BOOLEAN = 1
 FLAG_PHRASE = 2
 FLAG_LOVEHATE = 4
 FLAG_WILDCARD = 8
+FLAG_FUZZY = 16
+FLAG_SYNONYM = 32  # '~term' syntax (queryparser.h:605)
+FLAG_AUTO_SYNONYMS = 64  # every term auto-expands (queryparser.h:619)
 DEFAULT_FLAGS = FLAG_BOOLEAN | FLAG_PHRASE | FLAG_LOVEHATE
+
+
+@dataclass
+class RangeProcessor:
+    """String range processor (queryparser.h:139-330): ``field:lo..hi`` →
+    OP_VALUE_RANGE over ``column``.  ``field=''`` handles bare ranges."""
+
+    column: str
+    field: str = ""
+
+    def parse(self, lo: str, hi: str) -> Q.Query:
+        return Q.ValueRange(self.column, lo or None, hi or None)
+
+
+@dataclass
+class NumberRangeProcessor(RangeProcessor):
+    """NumberRangeProcessor (queryparser.h:471+): numeric endpoints.
+
+    The reference serializes through sortable_serialise into a value slot;
+    our value slots are native typed columns, so endpoints just become
+    numbers (functions/sortable.py proves byte-level parity separately)."""
+
+    def parse(self, lo: str, hi: str) -> Q.Query:
+        def num(s):
+            if not s:
+                return None
+            f = float(s)
+            return int(f) if f.is_integer() else f
+
+        return Q.ValueRange(self.column, num(lo), num(hi))
 
 _TOKEN_RX = re.compile(
     r"""
@@ -62,6 +113,9 @@ class _Tok:
     text: str
     window: int | None = None
     prefix: str | None = None  # 'love' | 'hate'
+    field: str | None = None  # registered field name the token was scoped to
+    proc: object | None = None  # RangeProcessor for kind='range'
+    hi: str | None = None  # range upper endpoint (text holds lo)
 
 
 class QueryParser:
@@ -81,9 +135,47 @@ class QueryParser:
         self._tok = xapian_tokenize if mode == "xapian" else simple_tokenize
         self._stem = None
         if stem is not None:
-            from ..functions.stem_en import stem_english
+            from ..functions.stemmers import get_stemmer
 
-            self._stem = stem_english
+            self._stem = get_stemmer(stem)
+        self._prefixes: dict[str, list[str]] = {}
+        self._bool_prefixes: dict[str, list[str]] = {}
+        self._range_procs: dict[str, RangeProcessor] = {}
+        #: query-expansion synonym dictionary (glass_synonym.h analog):
+        #: term → [synonyms].  Set directly or via use_synonyms(index).
+        self._synonyms: dict[str, list[str]] = {}
+
+    def set_synonyms(self, synonyms: dict[str, list[str]]) -> None:
+        """Attach a synonym table (small, driver-side — the reference reads
+        it from the database's synonym B-tree per term)."""
+        self._synonyms = dict(synonyms)
+
+    def use_synonyms(self, index) -> None:
+        """Load the synonym table stored in an index's metadata KV."""
+        self.set_synonyms(index.metadata.get(index.SYNONYM_KEY, {}))
+
+    def _synonym_expand(self, node: Q.Query) -> Q.Query:
+        """term → OP_SYNONYM(term, syn...) when the table has an entry
+        (queryparser FLAG_SYNONYM/~ and FLAG_AUTO_SYNONYMS lowering)."""
+        if not isinstance(node, Q.Term):
+            return node
+        syns = self._synonyms.get(node.term)
+        if not syns:
+            return node
+        return Q.Synonym([node] + [Q.Term(s) for s in syns])
+
+    def add_prefix(self, field: str, prefix: str) -> None:
+        """Probabilistic field prefix (QueryParser::add_prefix,
+        queryparser.h:1051-1100).  Repeated calls for one field OR the
+        expansions together."""
+        self._prefixes.setdefault(field, []).append(prefix)
+
+    def add_boolean_prefix(self, field: str, prefix: str) -> None:
+        """Boolean filter prefix (queryparser.h:1101-1169)."""
+        self._bool_prefixes.setdefault(field, []).append(prefix)
+
+    def add_rangeprocessor(self, proc: RangeProcessor) -> None:
+        self._range_procs[proc.field] = proc
 
     # -- public ------------------------------------------------------------
     def parse_query(self, text: str) -> Q.Query:
@@ -97,18 +189,32 @@ class QueryParser:
     def _lex(self, text: str) -> list[_Tok]:
         out: list[_Tok] = []
         pending_prefix: str | None = None
+        pending_field: str | None = None  # 'field:' just seen, phrase follows
         for m in _TOKEN_RX.finditer(text):
-            kind = m.lastgroup if m.lastgroup in ("lparen", "rparen") else None
             if m.group("lparen"):
                 out.append(_Tok("(", "("))
             elif m.group("rparen"):
                 out.append(_Tok(")", ")"))
             elif m.group("quote") and self.flags & FLAG_PHRASE:
-                out.append(_Tok("phrase", m.group("quote")[1:-1], prefix=pending_prefix))
-                pending_prefix = None
+                out.append(
+                    _Tok(
+                        "phrase",
+                        m.group("quote")[1:-1],
+                        prefix=pending_prefix,
+                        field=pending_field,
+                    )
+                )
+                pending_prefix = pending_field = None
             elif m.group("quote"):
-                out.append(_Tok("word", m.group("quote")[1:-1], prefix=pending_prefix))
-                pending_prefix = None
+                out.append(
+                    _Tok(
+                        "word",
+                        m.group("quote")[1:-1],
+                        prefix=pending_prefix,
+                        field=pending_field,
+                    )
+                )
+                pending_prefix = pending_field = None
             elif m.group("op") and self.flags & FLAG_BOOLEAN:
                 out.append(_Tok(m.group("op"), m.group("op")))
             elif m.group("near") and self.flags & FLAG_BOOLEAN:
@@ -126,9 +232,54 @@ class QueryParser:
                 pending_prefix = "hate"
             else:
                 word = m.group("word") or m.group("op") or m.group("near")
-                out.append(_Tok("word", word, prefix=pending_prefix))
-                pending_prefix = None
+                tok, pending_field = self._classify_word(word, pending_prefix)
+                if tok is not None:
+                    out.append(tok)
+                    pending_prefix = None
         return out
+
+    _RANGE_RX = re.compile(r"^(?:(?P<f>[A-Za-z_][\w]*):)?(?P<lo>[^.]*)\.\.(?P<hi>.*)$")
+
+    def _classify_word(
+        self, word: str, pending_prefix: str | None
+    ) -> tuple[_Tok | None, str | None]:
+        """word → (token, pending_field).  Recognizes registered ranges and
+        field-scoped words; unknown ``foo:bar`` stays one plain word (the
+        reference also keeps unregistered fields as terms)."""
+        rm = self._RANGE_RX.match(word)
+        if rm is not None:
+            f = rm.group("f") or ""
+            proc = self._range_procs.get(f)
+            if proc is not None:
+                return (
+                    _Tok("range", rm.group("lo"), proc=proc, hi=rm.group("hi")),
+                    None,
+                )
+        if ":" in word:
+            head, _, rest = word.partition(":")
+            if head in self._prefixes or head in self._bool_prefixes:
+                if rest == "":
+                    # `field:"quoted phrase"` — field applies to next token
+                    return None, head
+                return (
+                    _Tok("word", rest, prefix=pending_prefix, field=head),
+                    None,
+                )
+        if self.flags & FLAG_SYNONYM and word.startswith("~") and len(word) > 1:
+            return _Tok("synonym", word[1:], prefix=pending_prefix), None
+        if self.flags & FLAG_FUZZY:
+            fm = re.match(r"^(.+?)~(\d*)$", word)
+            if fm is not None:
+                return (
+                    _Tok(
+                        "fuzzy",
+                        fm.group(1),
+                        window=int(fm.group(2)) if fm.group(2) else None,
+                        prefix=pending_prefix,
+                    ),
+                    None,
+                )
+        return _Tok("word", word, prefix=pending_prefix), None
 
     # -- grammar (precedence climbing, lemony:2231-2234) --------------------
     def _parse_or(self, toks, i):
@@ -203,6 +354,10 @@ class QueryParser:
         loves: list[Q.Query] = []
         hates: list[Q.Query] = []
         normals: list[Q.Query] = []
+        #: boolean-prefix filter terms grouped per field (same field → OR,
+        #: across fields → AND — the reference's filter combination)
+        bool_filters: dict[str, list[Q.Query]] = {}
+        range_filters: list[Q.Query] = []
         got = False
         while i < len(toks):
             t = toks[i]
@@ -217,10 +372,43 @@ class QueryParser:
                 got = True
                 # a group is a full primary when alone; keep collecting words
                 continue
+            if t.kind == "range":
+                range_filters.append(t.proc.parse(t.text, t.hi))
+                got = True
+                i += 1
+                continue
+            if t.field is not None and t.field in self._bool_prefixes:
+                # boolean filter term: value VERBATIM, one per prefix
+                for p in self._bool_prefixes[t.field]:
+                    bool_filters.setdefault(t.field, []).append(
+                        Q.Term(make_term(p, t.text))
+                    )
+                got = True
+                i += 1
+                continue
+            fps = self._prefixes.get(t.field) if t.field is not None else None
             if t.kind == "phrase":
-                node = self._phrase_node(t.text)
+                node = self._phrase_node(t.text, field_prefixes=fps)
+            elif t.kind == "fuzzy":
+                # `word~k` (FLAG_FUZZY, queryparser.h:718) → OP_EDIT_DISTANCE
+                # with the queryparser's default combiner (synonym)
+                terms = self._tok(t.text)
+                node = (
+                    Q.EditDistance(
+                        terms[-1],
+                        max_edit_distance=t.window if t.window is not None else 2,
+                    )
+                    if terms
+                    else None
+                )
+            elif t.kind == "synonym":
+                # '~word' (FLAG_SYNONYM, queryparser.h:605): OP_SYNONYM over
+                # the term + its table entries
+                node = self._synonym_expand(self._word_node(t.text))
             else:
-                node = self._word_node(t.text)
+                node = self._word_node(t.text, field_prefixes=fps)
+                if node is not None and self.flags & FLAG_AUTO_SYNONYMS:
+                    node = self._synonym_expand(node)
             if node is not None:
                 if t.prefix == "love":
                     loves.append(node)
@@ -240,6 +428,20 @@ class QueryParser:
                 base = Q.AndMaybe(base, rest)
         elif normals:
             base = normals[0] if len(normals) == 1 else self._combine(normals)
+        # attach filters (boolean prefixes + ranges) with OP_FILTER
+        filters: list[Q.Query] = []
+        for field in sorted(bool_filters):
+            fs = bool_filters[field]
+            filters.append(fs[0] if len(fs) == 1 else Q.Or(fs))
+        filters.extend(range_filters)
+        if filters:
+            fq = filters[0] if len(filters) == 1 else Q.And(filters)
+            if base is None:
+                # filters-only query: pure boolean, weight 0 (the reference
+                # scores it with BoolWeight)
+                base = Q.ScaleWeight(fq, 0.0)
+            else:
+                base = Q.Filter(base, fq)
         if hates:
             h = hates[0] if len(hates) == 1 else Q.Or(hates)
             if base is None:
@@ -250,30 +452,60 @@ class QueryParser:
     def _combine(self, nodes: list[Q.Query]) -> Q.Query:
         return Q.And(nodes) if self.default_op == "and" else Q.Or(nodes)
 
-    def _word_node(self, word: str) -> Q.Query | None:
+    def _leaf_term(self, t: str, prefix: str = "") -> Q.Query:
+        """One token → Term with stem + field prefix (Term::make_term,
+        queryparser.lemony:341-367: 'Z' + prefix + [':'] + stem)."""
+        if self._stem is not None:
+            from ..operators.indexer import _should_stem
+
+            if _should_stem(t):
+                return Q.Term("Z" + make_term(prefix, self._stem(t)))
+        return Q.Term(make_term(prefix, t))
+
+    def _word_node(
+        self, word: str, field_prefixes: list[str] | None = None
+    ) -> Q.Query | None:
+        fps = field_prefixes if field_prefixes else [""]
         if self.flags & FLAG_WILDCARD and word.endswith("*") and len(word) > 1:
             stem = word[:-1]
             terms = self._tok(stem)
             if terms:
-                return Q.Wildcard(terms[-1] + "*", combiner="synonym")
+                pats = [Q.Wildcard(make_term(p, terms[-1]) + "*", combiner="synonym") for p in fps]
+                return pats[0] if len(pats) == 1 else Q.Or(pats)
         terms = self._tok(word)
         if not terms:
             return None
-        if len(terms) == 1:
-            t = terms[0]
-            if self._stem is not None:
-                from ..operators.indexer import _should_stem
+        variants: list[Q.Query] = []
+        for p in fps:
+            if len(terms) == 1:
+                variants.append(self._leaf_term(terms[0], p))
+            else:
+                # one typed word → several index terms (e.g. "1.2-rc") →
+                # phrase; phrase terms are unstemmed (positional terms)
+                variants.append(
+                    Q.Phrase(
+                        [Q.Term(make_term(p, t)) for t in terms],
+                        window=len(terms),
+                    )
+                )
+        return variants[0] if len(variants) == 1 else Q.Or(variants)
 
-                if _should_stem(t):
-                    return Q.Term("Z" + self._stem(t))
-            return Q.Term(t)
-        # one typed word → several index terms (e.g. "1.2-rc") → phrase
-        return Q.Phrase([Q.Term(t) for t in terms], window=len(terms))
-
-    def _phrase_node(self, text: str) -> Q.Query | None:
+    def _phrase_node(
+        self, text: str, field_prefixes: list[str] | None = None
+    ) -> Q.Query | None:
+        fps = field_prefixes if field_prefixes else [""]
         terms = self._tok(text)
         if not terms:
             return None
-        if len(terms) == 1:
-            return Q.Term(terms[0])
-        return Q.Phrase([Q.Term(t) for t in terms], window=len(terms))
+        variants: list[Q.Query] = []
+        for p in fps:
+            if len(terms) == 1:
+                variants.append(Q.Term(make_term(p, terms[0])))
+            else:
+                variants.append(
+                    Q.Phrase(
+                        [Q.Term(make_term(p, t)) for t in terms],
+                        window=len(terms),
+                    )
+                )
+        return variants[0] if len(variants) == 1 else Q.Or(variants)

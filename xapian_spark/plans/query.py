@@ -188,6 +188,27 @@ class Wildcard(Query):
     limit_policy: str = "error"
 
 
+@dataclass
+class EditDistance(Query):
+    """OP_EDIT_DISTANCE (=16, query.h:269): expand to dictionary terms
+    within ``max_edit_distance`` edits (ins/del/sub/transpose) of
+    ``target``, then combine like OP_WILDCARD (api/queryinternal.cc:317-380;
+    same limit policies).
+
+    ``metric``: 'osa' = the reference's restricted Damerau-Levenshtein
+    (api/editdistance.cc); 'levenshtein' = plain Levenshtein (JVM/SQL
+    built-in — used by oracle-checked entries since DuckDB's
+    damerau_levenshtein is full DL, which differs from OSA).
+    """
+
+    target: str
+    max_edit_distance: int = 2
+    combiner: str = "synonym"
+    max_expansion: int = 0
+    limit_policy: str = "error"
+    metric: str = "osa"
+
+
 def normalize(q: Query) -> Query:
     """Construction-time rewrites (api/queryinternal.cc:2566-2680):
 

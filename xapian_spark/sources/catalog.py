@@ -51,6 +51,11 @@ def save_index(index: IndexTables, path: str, sort_postings: bool = False) -> di
         "committed_at": time.time(),
         "stats": index.stats,
         "config": index.config,
+        # user metadata KV store (get_metadata/set_metadata,
+        # include/xapian/database.h + glass_metadata.*) — committed
+        # atomically with the snapshot, exactly like the reference commits
+        # metadata with the revision
+        "metadata": index.metadata,
         "tables": ["docs", "dictionary", "postings"],
     }
     tmp = f"{path}/.{MANIFEST}.tmp"
@@ -69,4 +74,5 @@ def load_index(spark: SparkSession, path: str) -> IndexTables:
         postings=spark.read.parquet(f"{path}/postings"),
         stats=manifest["stats"],
         config=manifest["config"],
+        metadata=manifest.get("metadata", {}),
     )

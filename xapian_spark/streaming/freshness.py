@@ -220,7 +220,7 @@ def compact(spark: SparkSession, root: str, out_path: str) -> IndexTables:
         meta_cols=[
             c
             for c in corpus_docs.columns
-            if c not in ("doc_id", "content", "doc_len", "sha256")
+            if c not in ("doc_id", "content", "doc_len", "uniq_terms", "sha256")
         ],
         mode=union.config.get("mode", "xapian"),
         with_positions=union.config.get("with_positions", True),
