@@ -83,3 +83,51 @@ def test_snippets_for_mset(spark, index, matcher, corpus):
     ).collect()
     assert len(out) == 5
     assert all("<b>binary_search</b>" in r["snippet"] for r in out)
+
+
+def test_listnet_sgd_learns_ranking(spark):
+    """ListNET (listnet_ranker.cc): after training on lists where label
+    correlates with feature 0, the model ranks high-label docs first."""
+    from xapian_spark.operators.ltr import listnet_rank, listnet_train_sgd
+
+    train = [
+        [(2.0, [3.0, 0.1]), (1.0, [2.0, 0.3]), (0.0, [0.5, 0.2])],
+        [(2.0, [2.8, 0.2]), (0.0, [0.3, 0.1]), (1.0, [1.9, 0.4])],
+        [(1.0, [2.1, 0.3]), (0.0, [0.4, 0.5])],
+    ]
+    w = listnet_train_sgd(train, learning_rate=0.01, iterations=50)
+    assert w[0] > 0  # feature 0 is the signal
+    df = spark.createDataFrame(
+        [(1, 10, [3.0, 0.1]), (1, 11, [0.5, 0.2]), (1, 12, [2.0, 0.3])],
+        "qid int, doc_id long, features array<double>",
+    )
+    ranked = {r["doc_id"]: r["rank"] for r in listnet_rank(df, w).collect()}
+    assert ranked[10] == 1 and ranked[11] == 3
+
+
+def test_listnet_distributed_matches_direction(spark):
+    """Batch-gradient variant converges to the same ranking direction."""
+    from xapian_spark.operators.ltr import listnet_train
+
+    rows = []
+    for q in range(4):
+        rows += [
+            (q, 2.0, [3.0 + q * 0.1, 0.1]),
+            (q, 1.0, [2.0, 0.3]),
+            (q, 0.0, [0.4, 0.2]),
+        ]
+    df = spark.createDataFrame(rows, "qid int, label double, features array<double>")
+    w = listnet_train(df, n_features=2, learning_rate=0.01, iterations=25)
+    assert w[0] > 0 and abs(w[0]) > abs(w[1])
+
+
+def test_multivalue_keymaker_sort(spark, matcher):
+    from xapian_spark.plans import query as Q
+
+    res = matcher.mset(
+        Q.Term("return"), maxitems=10,
+        sort_by_keys=[("lang", False), ("path", True)],
+    )
+    rows = res.df.collect()
+    assert len(rows) > 0
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))

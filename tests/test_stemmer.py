@@ -110,3 +110,33 @@ def test_stemmer_registry():
     assert get_stemmer("english")("running") == "run"
     with pytest.raises(ValueError):
         get_stemmer("xx")
+
+
+DA_GOLD = "/root/reference/xapian-data/stemming/danish"
+NO_GOLD = "/root/reference/xapian-data/stemming/norwegian"
+
+
+@pytest.mark.skipif(not os.path.isdir(DA_GOLD), reason="reference goldens absent")
+def test_danish_full_golden_vocabulary():
+    from xapian_spark.functions.stem_da import stem_danish
+
+    voc = open(f"{DA_GOLD}/voc.txt", encoding="utf-8").read().splitlines()
+    out = open(f"{DA_GOLD}/output.txt", encoding="utf-8").read().splitlines()
+    assert len(voc) == len(out) and len(voc) > 20000
+    bad = [(v, stem_danish(v), o) for v, o in zip(voc, out) if stem_danish(v) != o]
+    assert not bad, bad[:10]
+
+
+@pytest.mark.skipif(not os.path.isdir(NO_GOLD), reason="reference goldens absent")
+def test_norwegian_full_golden_vocabulary():
+    from xapian_spark.functions.stem_no import stem_norwegian
+
+    voc = open(f"{NO_GOLD}/voc.txt", encoding="utf-8").read().splitlines()
+    out = open(f"{NO_GOLD}/output.txt", encoding="utf-8").read().splitlines()
+    assert len(voc) == len(out) and len(voc) > 20000
+    bad = [
+        (v, stem_norwegian(v), o)
+        for v, o in zip(voc, out)
+        if stem_norwegian(v) != o
+    ]
+    assert not bad, bad[:10]

@@ -89,3 +89,51 @@ def test_codec_segmented_roundtrip():
         counts = np.array([len(x) for x in lists], dtype=np.int64)
         dec = codec.decode_segmented(codec.encode_segmented(lists, counts), counts)
         assert [list(x) for x in dec] == lists
+
+
+def test_ngram_tokenize_mixed():
+    from xapian_spark.functions.tokenizer import ngram_tokenize_mixed
+
+    out = ngram_tokenize_mixed("hello 你好世界 world")
+    assert out == [
+        ("hello", True),
+        ("你", True), ("你好", False), ("好", True), ("好世", False),
+        ("世", True), ("世界", False), ("界", True),
+        ("world", True),
+    ]
+    # single unbroken char → unigram only; script boundary ends latin term
+    assert ngram_tokenize_mixed("abソcd") == [
+        ("ab", True), ("ソ", True), ("cd", True)
+    ]
+    # thai is an unbroken script too
+    assert all(len(t) <= 2 for t, _ in ngram_tokenize_mixed("ภาษาไทย"))
+
+
+def test_ngram_index_end_to_end(spark):
+    from xapian_spark.operators.indexer import build_index
+    from xapian_spark.operators.matcher import Matcher
+    from xapian_spark.plans import query as Q
+
+    docs = spark.createDataFrame(
+        [
+            (1, "search engine 你好世界"),
+            (2, "你好 engine"),
+            (3, "世界 peace"),
+        ],
+        "doc_id long, content string",
+    )
+    ix = build_index(spark, docs, ngrams=True)
+    m = Matcher(spark, ix)
+    # unigram matches docs 1 and 2
+    got = {r["doc_id"] for r in m.matches(Q.Term("你")).collect()}
+    assert got == {1, 2}
+    # bigram term (positionless) matches docs containing the pair adjacently
+    got = {r["doc_id"] for r in m.matches(Q.Term("世界")).collect()}
+    assert got == {1, 3}
+    # mixed latin+cjk AND
+    got = {r["doc_id"] for r in m.matches(
+        Q.And([Q.Term("engine"), Q.Term("你好")])).collect()}
+    assert got == {1, 2}
+    # doc_len counts unigrams + bigrams: doc 1 = 2 latin + 4 uni + 3 bi = 9
+    row = ix.docs.filter("doc_id = 1").collect()[0]
+    assert row["doc_len"] == 9

@@ -1012,6 +1012,32 @@ ORDER BY rank LIMIT 10""",
 )
 
 
+def _q_sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiValueKeyMaker (include/xapian/keymaker.h): composed sort key
+    (lang ASC, n_chars DESC), docid tie-break."""
+    m = get_matcher(spark, sf_dir)
+    res = m.mset(
+        Q.Term("dup"), maxitems=10,
+        sort_by_keys=[("lang", False), ("n_chars", True)],
+    )
+    return res.df.select("rank", "doc_id")
+
+
+_register(
+    "sort_multi_key",
+    _q_sort_multi_key,
+    _PRELUDE
+    + """
+, m AS (SELECT DISTINCT doc_id FROM post WHERE term = 'dup')
+SELECT row_number() OVER (
+         ORDER BY d.lang ASC, d.n_chars DESC, m.doc_id ASC
+       )::BIGINT AS rank,
+       m.doc_id
+FROM m JOIN documents d USING (doc_id)
+ORDER BY rank LIMIT 10""",
+)
+
+
 def _q_ltr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ltr import ltr_features
 

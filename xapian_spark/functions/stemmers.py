@@ -23,10 +23,18 @@ def get_stemmer(lang: str) -> Callable[[str], str]:
         from .stem_sv import stem_swedish
 
         return stem_swedish
+    if lang in ("da", "danish"):
+        from .stem_da import stem_danish
+
+        return stem_danish
+    if lang in ("nb", "nn", "no", "norwegian"):
+        from .stem_no import stem_norwegian
+
+        return stem_norwegian
     if lang == "porter":
         from .stem_porter import stem_porter
 
         return stem_porter
     raise ValueError(
-        f"unsupported stemmer {lang!r} (available: en, sv, porter)"
+        f"unsupported stemmer {lang!r} (available: en, sv, da, no, porter)"
     )

@@ -270,3 +270,79 @@ def make_tokenizer_udf(mode: str = "xapian"):
         return tokenize_series(texts, mode=mode)
 
     return _tok
+
+
+# ---------------------------------------------------------------------------
+# CJK / unbroken-script n-gram segmentation (FLAG_NGRAMS).
+# Reference: queryparser/word-breaker.cc (is_unbroken_script table +
+# NgramIterator) driven from termgenerator_internal.cc:145-186.
+# ---------------------------------------------------------------------------
+
+# Last codepoint of alternating not-unbroken / unbroken ranges
+# (word-breaker.cc:60-127) — bisect parity decides membership.
+_UNBROKEN_SPLITS = (
+    0x0E00 - 1, 0x0EFF,          # Thai, Lao
+    0x1000 - 1, 0x109F,          # Myanmar
+    0x1100 - 1, 0x11FF,          # Hangul Jamo
+    0x1780 - 1, 0x17FF,          # Khmer
+    0x19E0 - 1, 0x19FF,          # Khmer Symbols
+    0x2E80 - 1, 0x9FFF,          # CJK radicals … Unified Ideographs
+    0xA700 - 1, 0xA71F,          # Modifier Tone Letters
+    0xA960 - 1, 0xA97F,          # Hangul Jamo Extended-A
+    0xA9E0 - 1, 0xA9FF,          # Myanmar Extended-B
+    0xAA60 - 1, 0xAA7F,          # Myanmar Extended-A
+    0xAC00 - 1, 0xD7FF,          # Hangul Syllables + Jamo Extended-B
+    0xF900 - 1, 0xFAFF,          # CJK Compatibility Ideographs
+    0xFE30 - 1, 0xFE4F,          # CJK Compatibility Forms
+    0xFF65 - 1, 0xFFDC,          # Halfwidth Katakana and Hangul
+    0x1AFF0 - 1, 0x1B16F,        # Kana Extended/Supplement
+    0x1F200 - 1, 0x1F2FF,        # Enclosed Ideographic Supplement
+    0x20000 - 1, 0x2A6DF,        # CJK Ext B
+    0x2A700 - 1, 0x2EE5F,        # CJK Ext C-F, I
+    0x2F800 - 1, 0x2FA1F,        # CJK Compat Ideographs Supplement
+    0x30000 - 1, 0x323AF,        # CJK Ext G-H
+)
+
+
+def _is_unbroken_script(cp: int) -> bool:
+    from bisect import bisect_left
+
+    return bool(bisect_left(_UNBROKEN_SPLITS, cp) & 1)
+
+
+def _is_unbroken_wordchar(ch: str) -> bool:
+    return _is_unbroken_script(ord(ch)) and _char_class(ch) != 0
+
+
+def ngram_tokenize_mixed(text: str) -> list[tuple[str, bool]]:
+    """FLAG_NGRAMS tokenization: list of (term, positional).
+
+    Unbroken-script spans (CJK, Thai, …) emit the NgramIterator sequence —
+    u0, b01, u1, b12, …, u_{n-1} — where only the UNIGRAMS carry positions
+    (break_words: ``with_pos = with_positions && tk.unigram()``,
+    termgenerator_internal.cc:170-176).  Everything else tokenizes exactly
+    like xapian_tokenize (all positional).  Terms end at script boundaries
+    like the reference (:241-243).
+    """
+    out: list[tuple[str, bool]] = []
+    n = len(text)
+    i = 0
+    while i < n:
+        if _is_unbroken_wordchar(text[i]):
+            j = i
+            while j < n and _is_unbroken_wordchar(text[j]):
+                j += 1
+            span = text[i:j]
+            for k in range(len(span)):
+                out.append((span[k], True))
+                if k + 1 < len(span):
+                    out.append((span[k] + span[k + 1], False))
+            i = j
+        else:
+            j = i
+            while j < n and not _is_unbroken_wordchar(text[j]):
+                j += 1
+            for t in xapian_tokenize(text[i:j]):
+                out.append((t, True))
+            i = j
+    return out

@@ -153,6 +153,7 @@ def invert_corpus(
     stem: str | None = None,
     stem_strategy: str = "some",
     boolean_fields: dict[str, str] | None = None,
+    ngrams: bool = False,
 ) -> DataFrame:
     """Corpus → flat postings (doc_id, term, wdf, positions).
 
@@ -179,6 +180,11 @@ def invert_corpus(
     in doc_len — so they filter (OP_FILTER / boolean prefixes in the query
     parser) without perturbing any BM25 statistic.  Values are used verbatim
     (boolean terms bypass the term generator in the reference too).
+
+    ``ngrams``: FLAG_NGRAMS (termgenerator_internal.cc:145-186) — CJK /
+    unbroken-script spans index as unigrams (positional) + bigrams
+    (positionless add_term postings whose wdf counts toward doc_len, like
+    the reference's action); stemming is never applied to ngram tokens.
     """
     base_tok = xapian_tokenize if mode == "xapian" else simple_tokenize
     if stopwords:
@@ -202,6 +208,38 @@ def invert_corpus(
     )
 
     enc = _encode_poslist if with_positions else None
+
+    if ngrams:
+        from ..functions.tokenizer import ngram_tokenize_mixed
+
+        base_mixed = ngram_tokenize_mixed
+        if stopwords:
+            stop2 = frozenset(stopwords)
+
+            def tok_mixed(text: str) -> list[tuple[str, bool]]:
+                return [tp for tp in base_mixed(text) if tp[0] not in stop2]
+
+        else:
+            tok_mixed = base_mixed
+
+        def _invert_doc_ngram(
+            pairs: list[tuple[str, bool]],
+        ) -> tuple[dict[str, tuple[int, list[int]]], int]:
+            acc: dict[str, tuple[int, list[int]]] = {}
+            dlen = 0
+            pos = 0
+            for t, positional in pairs:
+                dlen += 1
+                if positional:
+                    pos += 1
+                cur = acc.get(t)
+                if cur is None:
+                    acc[t] = (1, [pos] if positional else [])
+                else:
+                    if positional:
+                        cur[1].append(pos)
+                    acc[t] = (cur[0] + 1, cur[1])
+            return acc, dlen
 
     def _invert_doc(terms: list[str]) -> tuple[dict[str, tuple[int, list[int]]], int]:
         """term → (wdf, positions); returns (acc, doc_len = Σ wdf)."""
@@ -245,7 +283,10 @@ def invert_corpus(
                 text = texts[r]
                 if not isinstance(text, str):
                     continue
-                acc, dlen = _invert_doc(tok(text))
+                if ngrams:
+                    acc, dlen = _invert_doc_ngram(tok_mixed(text))
+                else:
+                    acc, dlen = _invert_doc(tok(text))
                 did = int(ids[r])
                 for t, (wdf, poss) in acc.items():
                     out_doc.append(did)
@@ -400,6 +441,7 @@ def build_index(
     stem: str | None = None,
     stem_strategy: str = "some",
     boolean_fields: dict[str, str] | None = None,
+    ngrams: bool = False,
 ) -> IndexTables:
     """Build docs/dictionary/postings/stats from a corpus DataFrame.
 
@@ -413,11 +455,14 @@ def build_index(
         flat = invert_corpus(
             corpus, id_col, content_col, mode, with_positions,
             stopwords=stopwords, stem=stem, stem_strategy=stem_strategy,
-            boolean_fields=boolean_fields,
+            boolean_fields=boolean_fields, ngrams=ngrams,
         )
     # Persist: consumed by doclens, dictionary and blocks.
     flat = flat.persist()
 
+    # Persist: consumed twice (the stats action and the docs-table join);
+    # without it the docs write job re-runs the whole aggregation (~1.2 s
+    # of the non-scaling serial tail at 8 cores).
     doclens = flat.groupBy("doc_id").agg(
         F.max("doc_len").cast("long").alias("doc_len"),
         # distinct wdf>0 terms per doc (get_unique_terms, database.h:409);
@@ -425,7 +470,7 @@ def build_index(
         F.sum(F.when(F.col("wdf") > 0, 1).otherwise(0))
         .cast("long")
         .alias("uniq_terms"),
-    )
+    ).persist()
 
     meta_cols = meta_cols or []
     doc_side = [F.col(id_col).cast("long").alias("doc_id")] + [

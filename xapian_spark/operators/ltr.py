@@ -92,3 +92,119 @@ def ltr_features(
     if candidates is not None:
         out = out.join(candidates.select("doc_id"), "doc_id", "left_semi")
     return out
+
+
+# ---------------------------------------------------------------------------
+# ListNET ranker (xapian-letor/ranker/listnet_ranker.cc; Cao et al. 2007,
+# "Learning to rank: from pairwise approach to listwise approach") — a
+# linear model trained with top-1 softmax cross-entropy.
+# ---------------------------------------------------------------------------
+
+
+def _softmax_prob(vals: list[float]) -> list[float]:
+    es = [math.exp(v) for v in vals]
+    s = sum(es)
+    return [e / s for e in es]
+
+
+def listnet_train_sgd(
+    training_data: list[list[tuple[float, list[float]]]],
+    learning_rate: float = 0.001,
+    iterations: int = 15,
+) -> list[float]:
+    """Faithful ListNETRanker::train (listnet_ranker.cc:127-160): per-query
+    sequential SGD, parameters updated after EACH query list, gradients
+    normalized by list size.  ``training_data``: per query, a list of
+    (label, fvals).  Driver-side — the reference's training sets are small;
+    use listnet_train() for the distributed batch variant."""
+    if not training_data or not training_data[0]:
+        raise ValueError("Cannot train: no training data")
+    fcount = len(training_data[0][0][1])
+    w = [0.0] * fcount
+    for _ in range(iterations):
+        for qlist in training_data:
+            prob_y = _softmax_prob([label for label, _ in qlist])
+            prob_z = _softmax_prob(
+                [sum(wi * x for wi, x in zip(w, f)) for _, f in qlist]
+            )
+            grad = [0.0] * fcount
+            for i, (_, fvals) in enumerate(qlist):
+                for k in range(fcount):
+                    grad[k] += (-prob_y[i] + prob_z[i]) * fvals[k]
+            n = len(qlist)
+            for k in range(fcount):
+                w[k] -= learning_rate * (grad[k] / n)
+    return w
+
+
+def listnet_train(
+    df: DataFrame,
+    n_features: int,
+    learning_rate: float = 0.001,
+    iterations: int = 15,
+    qid_col: str = "qid",
+    label_col: str = "label",
+    features_col: str = "features",
+) -> list[float]:
+    """Distributed ListNET: batch gradient per iteration (all queries'
+    gradients computed against the SAME parameters, then averaged) — one
+    Spark aggregation per iteration, so training scales to any number of
+    query lists.  Deliberate divergence from the reference's per-query SGD
+    update order (documented; same objective, same fixed point family).
+
+    ``df``: (qid, label double, features array<double>).  Returns the
+    parameter vector."""
+    w = [0.0] * n_features
+
+    def dot_col(params: list[float]):
+        p = F.array(*[F.lit(float(x)) for x in params])
+        return F.aggregate(
+            F.zip_with(F.col(features_col), p, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    n_queries = df.select(qid_col).distinct().count()
+    for _ in range(iterations):
+        scored = df.withColumn("_z", dot_col(w))
+        per_q = scored.groupBy(qid_col).agg(
+            F.sum(F.exp(F.col(label_col))).alias("_sy"),
+            F.sum(F.exp(F.col("_z"))).alias("_sz"),
+            F.count("*").alias("_n"),
+        )
+        j = scored.join(F.broadcast(per_q), qid_col)
+        coeff = (
+            F.exp(F.col("_z")) / F.col("_sz")
+            - F.exp(F.col(label_col)) / F.col("_sy")
+        ) / F.col("_n").cast("double")
+        grad_rows = (
+            j.select(coeff.alias("_c"), F.posexplode(features_col).alias("k", "x"))
+            .groupBy("k")
+            .agg(F.sum(F.col("_c") * F.col("x")).alias("g"))
+            .collect()
+        )
+        grad = [0.0] * n_features
+        for r in grad_rows:
+            grad[r["k"]] = float(r["g"])
+        w = [wi - learning_rate * g for wi, g in zip(w, grad)]
+    return w
+
+
+def listnet_rank(
+    df: DataFrame,
+    params: list[float],
+    qid_col: str = "qid",
+    features_col: str = "features",
+) -> DataFrame:
+    """Score = w·features; rank per query (DESC, doc_id ASC tie-break)."""
+    from pyspark.sql import Window
+
+    p = F.array(*[F.lit(float(x)) for x in params])
+    score = F.aggregate(
+        F.zip_with(F.col(features_col), p, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = df.withColumn("score", score)
+    win = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc("doc_id"))
+    return scored.withColumn("rank", F.row_number().over(win))

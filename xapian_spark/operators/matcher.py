@@ -214,6 +214,7 @@ class Matcher:
         with_percent: bool = False,
         sort_by_value: str | None = None,
         sort_value_reverse: bool = False,
+        sort_by_keys: list[tuple[str, bool]] | None = None,
         rank_round: int | None = None,
         percent_cutoff: int = 0,
         weight_cutoff: float = 0.0,
@@ -223,6 +224,11 @@ class Matcher:
         ``sort_by_value``: order by a docs-table column instead of weight
         (Enquire::set_sort_by_value, enquire.h:163-269); ties broken by
         docid ASC like the reference's VAL comparator (msetcmp.cc).
+
+        ``sort_by_keys``: MultiValueKeyMaker (include/xapian/keymaker.h) —
+        an ordered list of (docs-column, reverse) pairs forming a composed
+        sort key; ties broken by docid ASC.  Mutually exclusive with
+        sort_by_value.
 
         ``rank_round``: rank by round(weight, n) DESC, doc_id ASC instead of
         raw weight — aligns the selected top-k set with oracles that order by
@@ -269,6 +275,13 @@ class Matcher:
                 F.desc(sort_by_value) if sort_value_reverse else F.asc(sort_by_value),
                 F.asc("doc_id"),
             ]
+        elif sort_by_keys:
+            cols = [c for c, _ in sort_by_keys]
+            key = self.index.docs.select("doc_id", *cols)
+            matched = matched.join(key, "doc_id", "left")
+            order = [
+                F.desc(c) if reverse else F.asc(c) for c, reverse in sort_by_keys
+            ] + [F.asc("doc_id")]
         elif rank_round is not None:
             order = [F.desc(F.round(F.col("weight"), rank_round)), F.asc("doc_id")]
         else:

@@ -43,9 +43,26 @@ def save_index(index: IndexTables, path: str, sort_postings: bool = False) -> di
         postings = postings.repartition(
             max(8, index.postings.sparkSession.sparkContext.defaultParallelism), "term"
         ).sortWithinPartitions("term", "first_docid")
-    postings.write.mode("overwrite").parquet(f"{path}/postings")
-    index.docs.write.mode("overwrite").parquet(f"{path}/docs")
-    index.dictionary.sort("term").write.mode("overwrite").parquet(f"{path}/dictionary")
+
+    # The three table writes are independent jobs; the docs/dictionary ones
+    # read only their own persisted inputs (doclens + dictionary are cached
+    # by build_index), so they can run CONCURRENTLY with the postings job
+    # and backfill its scheduler gaps instead of serializing after it.
+    # (An earlier variant did this before doclens was persisted and thrashed
+    # the flat-postings cache — the persist is what makes this safe.)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(df, p):
+        df.write.mode("overwrite").parquet(p)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(_write, postings, f"{path}/postings"),
+            pool.submit(_write, index.docs, f"{path}/docs"),
+            pool.submit(_write, index.dictionary.sort("term"), f"{path}/dictionary"),
+        ]
+        for f in futs:
+            f.result()
     manifest = {
         "snapshot_id": uuid.uuid4().hex,
         "committed_at": time.time(),
