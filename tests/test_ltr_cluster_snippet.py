@@ -131,3 +131,16 @@ def test_multivalue_keymaker_sort(spark, matcher):
     rows = res.df.collect()
     assert len(rows) > 0
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_listmle_learns_and_leaves_last_param(spark):
+    from xapian_spark.operators.ltr import listmle_train_sgd
+
+    train = [
+        [(2.0, [3.0, 0.1, 1.0]), (1.0, [2.0, 0.3, 1.0]), (0.0, [0.5, 0.2, 1.0])],
+        [(2.0, [2.8, 0.2, 1.0]), (0.0, [0.3, 0.1, 1.0])],
+    ]
+    w = listmle_train_sgd(train, learning_rate=0.01, iterations=50)
+    assert w[0] > 0
+    # reference quirk mirrored: gradient loops exclude the last feature
+    assert w[2] == 0.0

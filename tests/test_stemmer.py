@@ -140,3 +140,27 @@ def test_norwegian_full_golden_vocabulary():
         if stem_norwegian(v) != o
     ]
     assert not bad, bad[:10]
+
+
+@pytest.mark.parametrize(
+    "lang,modname,fname,min_words",
+    [
+        ("german", "stem_de", "stem_german", 30000),
+        ("basque", "stem_eu", "stem_basque", 20000),
+        ("irish", "stem_ga", "stem_irish", 100000),
+        ("italian", "stem_it", "stem_italian", 30000),
+        ("catalan", "stem_ca", "stem_catalan", 40000),
+    ],
+)
+def test_more_full_golden_vocabularies(lang, modname, fname, min_words):
+    import importlib
+
+    gold = f"/root/reference/xapian-data/stemming/{lang}"
+    if not os.path.isdir(gold):
+        pytest.skip("reference goldens absent")
+    fn = getattr(importlib.import_module(f"xapian_spark.functions.{modname}"), fname)
+    voc = open(f"{gold}/voc.txt", encoding="utf-8").read().splitlines()
+    out = open(f"{gold}/output.txt", encoding="utf-8").read().splitlines()
+    assert len(voc) == len(out) and len(voc) > min_words
+    bad = [(v, fn(v), o) for v, o in zip(voc, out) if fn(v) != o]
+    assert not bad, bad[:10]

@@ -137,3 +137,26 @@ def test_ngram_index_end_to_end(spark):
     # doc_len counts unigrams + bigrams: doc 1 = 2 latin + 4 uni + 3 bi = 9
     row = ix.docs.filter("doc_id = 1").collect()[0]
     assert row["doc_len"] == 9
+
+
+def test_ngram_query_parser_end_to_end(spark):
+    from xapian_spark.operators.indexer import build_index
+    from xapian_spark.operators.matcher import Matcher
+    from xapian_spark.plans import query as Q
+    from xapian_spark.plans.parser import QueryParser
+
+    docs = spark.createDataFrame(
+        [(1, "搜索 engine"), (2, "search 索引 engine"), (3, "搜引 motor")],
+        "doc_id long, content string",
+    )
+    ix = build_index(spark, docs, ngrams=True)
+    m = Matcher(spark, ix)
+    p = QueryParser(ngrams=True)
+    q = p.parse_query("搜索")
+    assert isinstance(q, Q.Phrase)
+    got = {r["doc_id"] for r in m.matches(q).collect()}
+    assert got == {1}  # 搜 adjacent to 索 only in doc 1
+    # mixed latin + cjk
+    q2 = p.parse_query("engine 索引")
+    got2 = {r["doc_id"] for r in m.matches(q2).collect()}
+    assert 2 in got2

@@ -23,6 +23,10 @@ def get_stemmer(lang: str) -> Callable[[str], str]:
         from .stem_sv import stem_swedish
 
         return stem_swedish
+    if lang in ("de", "german", "german2"):
+        from .stem_de import stem_german
+
+        return stem_german
     if lang in ("da", "danish"):
         from .stem_da import stem_danish
 
@@ -31,10 +35,26 @@ def get_stemmer(lang: str) -> Callable[[str], str]:
         from .stem_no import stem_norwegian
 
         return stem_norwegian
+    if lang in ("eu", "basque"):
+        from .stem_eu import stem_basque
+
+        return stem_basque
+    if lang in ("ga", "irish"):
+        from .stem_ga import stem_irish
+
+        return stem_irish
+    if lang in ("it", "italian"):
+        from .stem_it import stem_italian
+
+        return stem_italian
+    if lang in ("ca", "catalan"):
+        from .stem_ca import stem_catalan
+
+        return stem_catalan
     if lang == "porter":
         from .stem_porter import stem_porter
 
         return stem_porter
     raise ValueError(
-        f"unsupported stemmer {lang!r} (available: en, sv, da, no, porter)"
+        f"unsupported stemmer {lang!r} (available: en, de, sv, da, no, porter)"
     )

@@ -1001,6 +1001,12 @@ class _LMDirichletTerm(TermWeight):
         extra_offset = self.query_length * math.log(self.doclen_upper_bound + self.mu)
         return extra_offset - self.query_length * math.log(doc_len + self.mu)
 
+    def sumextra_col(self, doc_len: Column, uniqterms: Column | None = None) -> Column:
+        extra_offset = self.query_length * math.log(self.doclen_upper_bound + self.mu)
+        return F.lit(extra_offset) - F.lit(self.query_length) * F.log(
+            doc_len.cast("double") + F.lit(self.mu)
+        )
+
     def maxextra(self, doclen_lower_bound: int) -> float:
         extra_offset = self.query_length * math.log(self.doclen_upper_bound + self.mu)
         return extra_offset - self.query_length * math.log(doclen_lower_bound + self.mu)
@@ -1073,6 +1079,13 @@ class _LMAbsDiscountTerm(TermWeight):
         u = float(uniqterms if uniqterms else 1)
         return extra_offset + self.query_length * math.log(u / doc_len)
 
+    def sumextra_col(self, doc_len: Column, uniqterms: Column | None = None) -> Column:
+        extra_offset = self.query_length * math.log(self.doclen_upper_bound)
+        u = uniqterms.cast("double") if uniqterms is not None else F.lit(1.0)
+        return F.lit(extra_offset) + F.lit(self.query_length) * F.log(
+            u / doc_len.cast("double")
+        )
+
 
 class LMAbsDiscountScheme:
     """LMAbsDiscountWeight (weight.h:2053): absolute-discount smoothing,
@@ -1133,6 +1146,15 @@ class _LM2StageTerm(TermWeight):
         extra_offset = -math.log((lam * dm + mu) / (dm + mu)) * self.query_length
         return extra_offset + self.query_length * math.log(
             (lam * doc_len + mu) / (doc_len + mu)
+        )
+
+    def sumextra_col(self, doc_len: Column, uniqterms: Column | None = None) -> Column:
+        lam, mu = self.lambda_, self.mu
+        dm = self.doclen_upper_bound
+        extra_offset = -math.log((lam * dm + mu) / (dm + mu)) * self.query_length
+        dl = doc_len.cast("double")
+        return F.lit(extra_offset) + F.lit(self.query_length) * F.log(
+            (F.lit(lam) * dl + F.lit(mu)) / (dl + F.lit(mu))
         )
 
 

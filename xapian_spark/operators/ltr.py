@@ -208,3 +208,40 @@ def listnet_rank(
     scored = df.withColumn("score", score)
     win = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc("doc_id"))
     return scored.withColumn("rank", F.row_number().over(win))
+
+
+def listmle_train_sgd(
+    training_data: list[list[tuple[float, list[float]]]],
+    learning_rate: float = 0.001,
+    iterations: int = 15,
+) -> list[float]:
+    """ListMLERanker::train (listmle_ranker.cc): top-1 likelihood of the
+    ground-truth permutation; per-query sequential SGD.  Each list is
+    sorted by label DESC before the gradient (the reference receives
+    pre-sorted 'sorted_feature_vectors').
+
+    Parity note: the reference's gradient loops run ``j < fcount - 1`` —
+    the LAST feature's parameter is never updated (listmle_ranker.cc
+    calculate_gradient).  Mirrored verbatim.
+    """
+    if not training_data or not training_data[0]:
+        raise ValueError("Cannot train: no training data")
+    fcount = len(training_data[0][0][1])
+    w = [0.0] * fcount
+    for _ in range(iterations):
+        for qlist in training_data:
+            slist = sorted(qlist, key=lambda lv: -lv[0])
+            exps = [
+                math.exp(sum(wi * x for wi, x in zip(w, f))) for _, f in slist
+            ]
+            expsum = sum(exps)
+            grad = [0.0] * fcount
+            for i, (_, fvals) in enumerate(slist):
+                for j in range(fcount - 1):
+                    grad[j] += fvals[j] * exps[i] / expsum
+            top = slist[0][1]
+            for j in range(fcount - 1):
+                grad[j] -= top[j]
+            for j in range(fcount):
+                w[j] -= learning_rate * grad[j]
+    return w

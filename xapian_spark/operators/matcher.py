@@ -247,6 +247,7 @@ class Matcher:
             return MSetResult(df=empty, matches=0)
         self._leaf_counter = 0
         matched = self._tombfilter(self._eval(q, factor=1.0))
+        matched = self._apply_sumextra(matched, q)
         max_possible = None
         max_attained = None
         if with_percent or percent_cutoff > 0:
@@ -371,6 +372,7 @@ class Matcher:
                     return self._wand(leaf_terms, k)
         self._leaf_counter = 0
         matched = self._tombfilter(self._eval(q, factor=1.0))
+        matched = self._apply_sumextra(matched, q)
         return matched.orderBy(F.desc("weight"), F.asc("doc_id")).limit(k)
 
     def _tombfilter(self, df: DataFrame) -> DataFrame:
@@ -418,7 +420,7 @@ class Matcher:
         if isinstance(q, Q.MatchNothing):
             return self._empty()
         self._leaf_counter = 0
-        return self._tombfilter(self._eval(q, factor=1.0))
+        return self._apply_sumextra(self._tombfilter(self._eval(q, factor=1.0)), q)
 
     def count_matches(self, q: Q.Query) -> int:
         q = Q.normalize(q)
@@ -468,6 +470,31 @@ class Matcher:
         uniq = sorted(set(terms))
         blocks = self.index.postings.filter(F.col("term").isin(uniq))
         return decode_blocks(blocks, with_positions=with_positions)
+
+    def _apply_sumextra(self, matched: DataFrame, q: Q.Query) -> DataFrame:
+        """Add the scheme's document-dependent extra weight once per matched
+        doc (Weight::get_sumextra — LM schemes; 0/no-op for the rest).  The
+        reference's drive loop adds it per document after the term sum
+        (matcher.cc:516-528)."""
+        stats = self._term_stats(q.terms())
+        w = None
+        for t in stats:
+            w = self._weight_for(t, 1, 1.0, stats)
+            if w is not None:
+                break
+        if w is None or not hasattr(w, "sumextra_col"):
+            return matched
+        cols = ["doc_id", "doc_len"]
+        if self._needs_uniq():
+            cols.append("uniq_terms")
+        j = matched.join(self.index.docs.select(*cols), "doc_id", "left")
+        extra = w.sumextra_col(
+            F.coalesce(F.col("doc_len"), F.lit(1)).cast("double"),
+            F.col("uniq_terms") if self._needs_uniq() else None,
+        )
+        return j.select(
+            "doc_id", (F.col("weight") + extra).alias("weight")
+        )
 
     def _needs_uniq(self) -> bool:
         return getattr(self.scheme, "needs_uniqterms", False)
@@ -541,6 +568,16 @@ class Matcher:
 
         if isinstance(q, Q.MatchNothing):
             return self._empty()
+
+        if isinstance(q, Q.PostingSource):
+            src = q.df
+            cols = src.columns
+            w = (
+                (F.col("weight").cast("double") * F.lit(factor)).alias("weight")
+                if "weight" in cols
+                else F.lit(0.0).alias("weight")
+            )
+            return src.select(F.col("doc_id").cast("long"), w)
 
         if isinstance(q, Q.Or):
             u = self._union_children(q.children, factor, stats)
@@ -646,6 +683,8 @@ class Matcher:
             return self.spark.createDataFrame([], "doc_id long")
         if isinstance(q, Q.ValueRange):
             return self._value_range_docids(q)
+        if isinstance(q, Q.PostingSource):
+            return q.df.select(F.col("doc_id").cast("long"))
         if isinstance(q, Q.ScaleWeight):
             return self._eval_bool_inner(q.subquery, stats)
         # Fall back to weighted eval for compound shapes (weight discarded).

@@ -315,6 +315,19 @@ class OracleMatcher:
 
         self._ql = max(_query_len(q), 1)
         weights = self._weights(q, 1.0)
+        # document-dependent extra (Weight::get_sumextra — LM schemes)
+        probe = None
+        for t in q.terms():
+            plist = self.ix.postings.get(t)
+            if plist:
+                cf = sum(len(p) for p in plist.values())
+                probe = self._init_term(len(plist), cf, 1, 1.0)
+                break
+        if probe is not None and hasattr(probe, "sumextra"):
+            weights = {
+                d: w + probe.sumextra(self.ix.doclens[d], self._uniq(d))
+                for d, w in weights.items()
+            }
         ranked = sorted(weights.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 

@@ -125,11 +125,20 @@ class QueryParser:
         default_op: str = "or",
         mode: str = "xapian",
         stem: str | None = None,
+        ngrams: bool = False,
     ):
         """``stem='en'``: free-text terms become Z-prefixed stemmed forms
         (STEM_SOME query side — the parser generates Zstem terms for
         probabilistic terms, unstemmed for phrases/positional ops, matching
-        QueryParser behavior with a stemmer set)."""
+        QueryParser behavior with a stemmer set).
+
+        ``ngrams=True``: CJK/unbroken-script query text is segmented into
+        positional unigrams and searched as a phrase over an
+        ``build_index(ngrams=True)`` index (FLAG_NGRAMS — the reference
+        feeds unbroken spans through the same NgramIterator and combines
+        the unigrams positionally, queryparser.lemony
+        as_positional_unbroken)."""
+        self.ngrams = ngrams
         self.flags = flags
         self.default_op = default_op
         self._tok = xapian_tokenize if mode == "xapian" else simple_tokenize
@@ -466,6 +475,20 @@ class QueryParser:
         self, word: str, field_prefixes: list[str] | None = None
     ) -> Q.Query | None:
         fps = field_prefixes if field_prefixes else [""]
+        if self.ngrams:
+            from ..functions.tokenizer import (
+                _is_unbroken_wordchar,
+                ngram_tokenize_mixed,
+            )
+
+            if any(_is_unbroken_wordchar(c) for c in word):
+                # positional unigrams (+ latin tokens) searched as a phrase
+                toks = [t for t, positional in ngram_tokenize_mixed(word) if positional]
+                if not toks:
+                    return None
+                if len(toks) == 1:
+                    return Q.Term(toks[0])
+                return Q.Phrase([Q.Term(t) for t in toks], window=len(toks))
         if self.flags & FLAG_WILDCARD and word.endswith("*") and len(word) > 1:
             stem = word[:-1]
             terms = self._tok(stem)

@@ -189,6 +189,23 @@ class Wildcard(Query):
 
 
 @dataclass
+class PostingSource(Query):
+    """LEAF_POSTING_SOURCE (query.h:283): a user-supplied stream of
+    (doc_id, weight) — ExternalPostList (matcher/externalpostlist.cc).
+
+    ``df`` is any DataFrame with doc_id (long) and weight (double) columns
+    (weight optional → 0.0).  Built-ins like ValueWeightPostingSource or
+    the geospatial LatLongDistancePostingSource (operators/geo.py) are just
+    producers of such DataFrames.
+    """
+
+    df: object  # DataFrame(doc_id[, weight])
+
+    def _collect_terms(self, out: list[str]) -> None:
+        pass
+
+
+@dataclass
 class EditDistance(Query):
     """OP_EDIT_DISTANCE (=16, query.h:269): expand to dictionary terms
     within ``max_edit_distance`` edits (ins/del/sub/transpose) of
