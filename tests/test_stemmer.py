@@ -150,6 +150,8 @@ def test_norwegian_full_golden_vocabulary():
         ("irish", "stem_ga", "stem_irish", 100000),
         ("italian", "stem_it", "stem_italian", 30000),
         ("catalan", "stem_ca", "stem_catalan", 40000),
+        ("portuguese", "stem_pt", "stem_portuguese", 30000),
+        ("spanish", "stem_es", "stem_spanish", 25000),
     ],
 )
 def test_more_full_golden_vocabularies(lang, modname, fname, min_words):

@@ -51,6 +51,14 @@ def get_stemmer(lang: str) -> Callable[[str], str]:
         from .stem_ca import stem_catalan
 
         return stem_catalan
+    if lang in ("pt", "portuguese"):
+        from .stem_pt import stem_portuguese
+
+        return stem_portuguese
+    if lang in ("es", "spanish"):
+        from .stem_es import stem_spanish
+
+        return stem_spanish
     if lang == "porter":
         from .stem_porter import stem_porter
 
