@@ -152,6 +152,8 @@ def test_norwegian_full_golden_vocabulary():
         ("catalan", "stem_ca", "stem_catalan", 40000),
         ("portuguese", "stem_pt", "stem_portuguese", 30000),
         ("spanish", "stem_es", "stem_spanish", 25000),
+        ("french", "stem_fr", "stem_french", 20000),
+        ("finnish", "stem_fi", "stem_finnish", 40000),
     ],
 )
 def test_more_full_golden_vocabularies(lang, modname, fname, min_words):

@@ -59,6 +59,14 @@ def get_stemmer(lang: str) -> Callable[[str], str]:
         from .stem_es import stem_spanish
 
         return stem_spanish
+    if lang in ("fr", "french"):
+        from .stem_fr import stem_french
+
+        return stem_french
+    if lang in ("fi", "finnish"):
+        from .stem_fi import stem_finnish
+
+        return stem_finnish
     if lang == "porter":
         from .stem_porter import stem_porter
 
