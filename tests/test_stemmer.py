@@ -154,6 +154,9 @@ def test_norwegian_full_golden_vocabulary():
         ("spanish", "stem_es", "stem_spanish", 25000),
         ("french", "stem_fr", "stem_french", 20000),
         ("finnish", "stem_fi", "stem_finnish", 40000),
+        ("russian", "stem_ru", "stem_russian", 40000),
+        ("dutch", "stem_nl", "stem_dutch", 40000),
+        ("dutch_porter", "stem_nl_porter", "stem_dutch_porter", 40000),
     ],
 )
 def test_more_full_golden_vocabularies(lang, modname, fname, min_words):

@@ -67,6 +67,18 @@ def get_stemmer(lang: str) -> Callable[[str], str]:
         from .stem_fi import stem_finnish
 
         return stem_finnish
+    if lang in ("ru", "russian"):
+        from .stem_ru import stem_russian
+
+        return stem_russian
+    if lang in ("nl", "dutch", "kraaij_pohlmann"):
+        from .stem_nl import stem_dutch
+
+        return stem_dutch
+    if lang == "dutch_porter":
+        from .stem_nl_porter import stem_dutch_porter
+
+        return stem_dutch_porter
     if lang == "porter":
         from .stem_porter import stem_porter
 
