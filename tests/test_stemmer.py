@@ -157,6 +157,8 @@ def test_norwegian_full_golden_vocabulary():
         ("russian", "stem_ru", "stem_russian", 40000),
         ("dutch", "stem_nl", "stem_dutch", 40000),
         ("dutch_porter", "stem_nl_porter", "stem_dutch_porter", 40000),
+        ("indonesian", "stem_id", "stem_indonesian", 60000),
+        ("polish", "stem_pl", "stem_polish", 60000),
     ],
 )
 def test_more_full_golden_vocabularies(lang, modname, fname, min_words):

@@ -75,6 +75,14 @@ def get_stemmer(lang: str) -> Callable[[str], str]:
         from .stem_nl import stem_dutch
 
         return stem_dutch
+    if lang in ("id", "indonesian"):
+        from .stem_id import stem_indonesian
+
+        return stem_indonesian
+    if lang in ("pl", "polish"):
+        from .stem_pl import stem_polish
+
+        return stem_polish
     if lang == "dutch_porter":
         from .stem_nl_porter import stem_dutch_porter
 
