@@ -159,6 +159,8 @@ def test_norwegian_full_golden_vocabulary():
         ("dutch_porter", "stem_nl_porter", "stem_dutch_porter", 40000),
         ("indonesian", "stem_id", "stem_indonesian", 60000),
         ("polish", "stem_pl", "stem_polish", 60000),
+        ("lovins", "stem_lovins", "stem_lovins", 40000),
+        ("romanian", "stem_ro", "stem_romanian", 80000),
     ],
 )
 def test_more_full_golden_vocabularies(lang, modname, fname, min_words):

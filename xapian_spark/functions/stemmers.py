@@ -83,6 +83,14 @@ def get_stemmer(lang: str) -> Callable[[str], str]:
         from .stem_pl import stem_polish
 
         return stem_polish
+    if lang in ("ro", "romanian"):
+        from .stem_ro import stem_romanian
+
+        return stem_romanian
+    if lang == "lovins":
+        from .stem_lovins import stem_lovins
+
+        return stem_lovins
     if lang == "dutch_porter":
         from .stem_nl_porter import stem_dutch_porter
 
