@@ -161,6 +161,8 @@ def test_norwegian_full_golden_vocabulary():
         ("polish", "stem_pl", "stem_polish", 60000),
         ("lovins", "stem_lovins", "stem_lovins", 40000),
         ("romanian", "stem_ro", "stem_romanian", 80000),
+        ("hungarian", "stem_hu", "stem_hungarian", 25000),
+        ("nepali", "stem_ne", "stem_nepali", 3000),
     ],
 )
 def test_more_full_golden_vocabularies(lang, modname, fname, min_words):

@@ -87,6 +87,14 @@ def get_stemmer(lang: str) -> Callable[[str], str]:
         from .stem_ro import stem_romanian
 
         return stem_romanian
+    if lang in ("hu", "hungarian"):
+        from .stem_hu import stem_hungarian
+
+        return stem_hungarian
+    if lang in ("ne", "nepali"):
+        from .stem_ne import stem_nepali
+
+        return stem_nepali
     if lang == "lovins":
         from .stem_lovins import stem_lovins
 
