@@ -163,6 +163,8 @@ def test_norwegian_full_golden_vocabulary():
         ("romanian", "stem_ro", "stem_romanian", 80000),
         ("hungarian", "stem_hu", "stem_hungarian", 25000),
         ("nepali", "stem_ne", "stem_nepali", 3000),
+        ("armenian", "stem_hy", "stem_armenian", 90000),
+        ("hindi", "stem_hi", "stem_hindi", 60000),
     ],
 )
 def test_more_full_golden_vocabularies(lang, modname, fname, min_words):

@@ -91,6 +91,14 @@ def get_stemmer(lang: str) -> Callable[[str], str]:
         from .stem_hu import stem_hungarian
 
         return stem_hungarian
+    if lang in ("hi", "hindi"):
+        from .stem_hi import stem_hindi
+
+        return stem_hindi
+    if lang in ("hy", "armenian"):
+        from .stem_hy import stem_armenian
+
+        return stem_armenian
     if lang in ("ne", "nepali"):
         from .stem_ne import stem_nepali
 
