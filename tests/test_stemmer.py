@@ -165,6 +165,8 @@ def test_norwegian_full_golden_vocabulary():
         ("nepali", "stem_ne", "stem_nepali", 3000),
         ("armenian", "stem_hy", "stem_armenian", 90000),
         ("hindi", "stem_hi", "stem_hindi", 60000),
+        ("lithuanian", "stem_lt", "stem_lithuanian", 80000),
+        ("turkish", "stem_tr", "stem_turkish", 90000),
     ],
 )
 def test_more_full_golden_vocabularies(lang, modname, fname, min_words):

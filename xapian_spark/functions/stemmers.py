@@ -99,6 +99,14 @@ def get_stemmer(lang: str) -> Callable[[str], str]:
         from .stem_hy import stem_armenian
 
         return stem_armenian
+    if lang in ("tr", "turkish"):
+        from .stem_tr import stem_turkish
+
+        return stem_turkish
+    if lang in ("lt", "lithuanian"):
+        from .stem_lt import stem_lithuanian
+
+        return stem_lithuanian
     if lang in ("ne", "nepali"):
         from .stem_ne import stem_nepali
 
