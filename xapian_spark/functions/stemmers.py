@@ -99,6 +99,12 @@ def get_stemmer(lang: str) -> Callable[[str], str]:
         from .stem_hy import stem_armenian
 
         return stem_armenian
+    if lang in ("ta", "tamil"):
+        # NB: no reference golden vocabulary exists for Tamil — this port
+        # is .sbl-reviewed but not vocabulary-validated (see stem_ta).
+        from .stem_ta import stem_tamil
+
+        return stem_tamil
     if lang in ("tr", "turkish"):
         from .stem_tr import stem_turkish
 
