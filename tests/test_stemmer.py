@@ -167,6 +167,7 @@ def test_norwegian_full_golden_vocabulary():
         ("hindi", "stem_hi", "stem_hindi", 60000),
         ("lithuanian", "stem_lt", "stem_lithuanian", 80000),
         ("turkish", "stem_tr", "stem_turkish", 90000),
+        ("yiddish", "stem_yi", "stem_yiddish", 90000),
     ],
 )
 def test_more_full_golden_vocabularies(lang, modname, fname, min_words):

@@ -99,6 +99,10 @@ def get_stemmer(lang: str) -> Callable[[str], str]:
         from .stem_hy import stem_armenian
 
         return stem_armenian
+    if lang in ("yi", "yiddish"):
+        from .stem_yi import stem_yiddish
+
+        return stem_yiddish
     if lang in ("ta", "tamil"):
         # NB: no reference golden vocabulary exists for Tamil — this port
         # is .sbl-reviewed but not vocabulary-validated (see stem_ta).
