@@ -168,6 +168,7 @@ def test_norwegian_full_golden_vocabulary():
         ("lithuanian", "stem_lt", "stem_lithuanian", 80000),
         ("turkish", "stem_tr", "stem_turkish", 90000),
         ("yiddish", "stem_yi", "stem_yiddish", 90000),
+        ("greek", "stem_el", "stem_greek", 90000),
     ],
 )
 def test_more_full_golden_vocabularies(lang, modname, fname, min_words):

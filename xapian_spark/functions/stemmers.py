@@ -109,6 +109,10 @@ def get_stemmer(lang: str) -> Callable[[str], str]:
         from .stem_ta import stem_tamil
 
         return stem_tamil
+    if lang in ("el", "greek"):
+        from .stem_el import stem_greek
+
+        return stem_greek
     if lang in ("tr", "turkish"):
         from .stem_tr import stem_turkish
 
