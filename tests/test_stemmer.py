@@ -169,6 +169,7 @@ def test_norwegian_full_golden_vocabulary():
         ("turkish", "stem_tr", "stem_turkish", 90000),
         ("yiddish", "stem_yi", "stem_yiddish", 90000),
         ("greek", "stem_el", "stem_greek", 90000),
+        ("serbian", "stem_sr", "stem_serbian", 25000),
     ],
 )
 def test_more_full_golden_vocabularies(lang, modname, fname, min_words):

@@ -109,6 +109,10 @@ def get_stemmer(lang: str) -> Callable[[str], str]:
         from .stem_ta import stem_tamil
 
         return stem_tamil
+    if lang in ("sr", "serbian"):
+        from .stem_sr import stem_serbian
+
+        return stem_serbian
     if lang in ("el", "greek"):
         from .stem_el import stem_greek
 
