@@ -102,6 +102,67 @@ def test_porter_full_golden_vocabulary():
     assert not bad, bad[:10]
 
 
+def test_earlyenglish():
+    """No reference goldens exist; pin the archaic-ending behavior and that
+    the shared engine still matches plain English elsewhere."""
+    from xapian_spark.functions.stemmers import get_stemmer
+
+    ee = get_stemmer("earlyenglish")
+    assert ee("maketh") == "make"
+    assert ee("goest") == "go"
+    assert ee("walkest") == "walk"
+    assert ee("liveth") == "live"
+    assert ee("best") == "best"  # no vowel in stem — not stripped
+    assert ee("running") == "run"  # shared path unchanged
+
+
+def test_esperanto():
+    """No reference goldens; pin the .sbl semantics: suffix strip behind the
+    two-syllable gate, guard-steps that delete accusative n / plural j then
+    stop, apostrophe restoration, x-system canonicalization."""
+    from xapian_spark.functions.stemmers import get_stemmer
+
+    eo = get_stemmer("eo")
+    assert eo("hundojn") == "hund"
+    assert eo("parolis") == "parol"
+    assert eo("belaj") == "bel"
+    assert eo("min") == "mi"  # pronoun guard strips n, keeps base
+    assert eo("kion") == "kio"  # correlative guard
+    assert eo("tiujn") == "tiu"
+    assert eo("unuj") == "unu"  # ujn guard
+    assert eo("dekdu") == "dekdu"  # merged numeral untouched
+    assert eo("tamen") == "tamen"  # uninflected
+    assert eo("kaj") == "kaj"  # fails the two-syllable long_word gate
+    assert eo("l'") == "la" and eo("ankor'") == "ankoraŭ"
+    assert eo("kor'") == "kor"  # ' -> o, then standard -o strip
+    assert eo("cxevalo") == "ĉeval"  # x-system canonical form
+    assert eo("ŝi") == "ŝi"
+    assert eo("wagon") == "wagon"  # foreign letter -> whole stem aborted
+
+
+def test_estonian():
+    """No reference goldens; pin the .sbl's worked examples (verb
+    exceptions, R1-scoped suffix chain, kk/pp/tt undoubling, the hop-4
+    guards — torte/kingi) under the formal Snowball semantics."""
+    from xapian_spark.functions.stemmers import get_stemmer
+
+    et = get_stemmer("et")
+    assert et("lauldakse") == "laul"
+    assert et("tullakse") == "tulla"
+    assert et("kirjutan") == "kirjuta"
+    assert et("teadlasse") == "teadlase"
+    assert et("roheline") == "rohelise"
+    assert et("õpetajaga") == "õpetaja"
+    assert et("õnnelikkude") == "õnneliku"
+    assert et("ministrite") == "ministri"
+    assert et("torte") == "tort"  # te with hop-4 failing -> 't'
+    assert et("kokkuvõtte") == "kokkuvõte"  # undouble tt before final vowel
+    assert et("hakkan") == "haka"
+    assert et("gaasid") == "gaasid"  # sid blocked by long vowel
+    assert et("kingi") == "kingi"  # emphasis hop-4 guard
+    assert et("sõin") == "söö" and et("teha") == "tegi"  # verb exceptions
+
+
 def test_stemmer_registry():
     from xapian_spark.functions.stemmers import get_stemmer
 

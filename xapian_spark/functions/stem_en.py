@@ -116,7 +116,10 @@ def _mark_regions(w: str) -> tuple[int, int]:
     return p1, p2
 
 
-def stem_english(word: str) -> str:
+def stem_english(word: str, _step1b_extra: tuple = ()) -> str:
+    """``_step1b_extra``: extra Step_1b delete-group suffixes — the hook
+    earlyenglish.sbl uses (its only diff vs english.sbl is adding the
+    archaic verb endings 'est'/'eth' to that among group)."""
     w = word
     if w in _EXCEPTION1:
         return _EXCEPTION1[w]
@@ -181,7 +184,7 @@ def stem_english(word: str) -> str:
         elif pre in ("inn", "out", "cann", "herr", "earr", "even"):
             step1b_done = True
     if not step1b_done:
-        for suf in ("ingly", "edly", "ing", "ed"):
+        for suf in ("ingly", "edly", "ing") + _step1b_extra + ("ed",):
             if w.endswith(suf):
                 pre = w[: -len(suf)]
                 if _has_vowel(pre):

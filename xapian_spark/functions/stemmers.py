@@ -137,6 +137,25 @@ def get_stemmer(lang: str) -> Callable[[str], str]:
         from .stem_nl_porter import stem_dutch_porter
 
         return stem_dutch_porter
+    if lang in ("et", "estonian"):
+        # no reference golden vocabulary — .sbl-faithful port pinned by
+        # the .sbl's own worked examples (see stem_et docstring).
+        from .stem_et import stem_estonian
+
+        return stem_estonian
+    if lang in ("eo", "esperanto"):
+        # no reference golden vocabulary — .sbl-faithful port pinned by
+        # morphology tests (see stem_eo docstring).
+        from .stem_eo import stem_esperanto
+
+        return stem_esperanto
+    if lang == "earlyenglish":
+        # no reference golden vocabulary — delegates to the golden-exact
+        # English port with Step_1b extended by 'est'/'eth' (the .sbl's
+        # only divergence from english.sbl).
+        from .stem_earlyenglish import stem_earlyenglish
+
+        return stem_earlyenglish
     if lang == "porter":
         from .stem_porter import stem_porter
 
