@@ -140,6 +140,25 @@ def test_esperanto():
     assert eo("wagon") == "wagon"  # foreign letter -> whole stem aborted
 
 
+def test_arabic():
+    """No reference goldens; pin article/suffix/prefix stripping, hamza and
+    presentation-form normalization, maqsura folding."""
+    from xapian_spark.functions.stemmers import get_stemmer
+
+    ar = get_stemmer("ar")
+    assert ar("الكتاب") == "كتاب"  # definite article
+    assert ar("بالكتاب") == "كتاب"  # bal- prefix
+    assert ar("كتابها") == "كتاب"  # possessive suffix
+    assert ar("مدرسة") == "مدرس"  # teh marbuta
+    assert ar("يستخدم") == "استخدم"  # Prefix_Step4_Verb
+    assert ar("مكتبى") == "مكتبي"  # alef maqsura -> yeh
+    assert ar("المسلمون") == "مسلم"
+    assert ar("أأكل") == "اكل"  # doubled hamza + post-normalization
+    assert ar("ﻓﻌﻞ") == "فعل"  # presentation forms folded
+    assert ar("فَعَلَ") == "فعل"  # diacritics stripped
+    assert ar("١٢٣") == "123"  # Hindu-Arabic digits
+
+
 def test_estonian():
     """No reference goldens; pin the .sbl's worked examples (verb
     exceptions, R1-scoped suffix chain, kk/pp/tt undoubling, the hop-4

@@ -137,6 +137,12 @@ def get_stemmer(lang: str) -> Callable[[str], str]:
         from .stem_nl_porter import stem_dutch_porter
 
         return stem_dutch_porter
+    if lang in ("ar", "arabic"):
+        # no reference golden vocabulary — .sbl-faithful port pinned by
+        # morphology tests (see stem_ar docstring).
+        from .stem_ar import stem_arabic
+
+        return stem_arabic
     if lang in ("et", "estonian"):
         # no reference golden vocabulary — .sbl-faithful port pinned by
         # the .sbl's own worked examples (see stem_et docstring).
@@ -161,5 +167,7 @@ def get_stemmer(lang: str) -> Callable[[str], str]:
 
         return stem_porter
     raise ValueError(
-        f"unsupported stemmer {lang!r} (available: en, de, sv, da, no, porter)"
+        f"unsupported stemmer {lang!r} (all 35 reference Snowball "
+        "algorithms are available by ISO code or name, e.g. en/english, "
+        "ar/arabic, el/greek, sr/serbian, porter, lovins, earlyenglish)"
     )
