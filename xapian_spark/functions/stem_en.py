@@ -116,6 +116,9 @@ def _mark_regions(w: str) -> tuple[int, int]:
     return p1, p2
 
 
+_STEP1B_SUFFIXES = ("ingly", "edly", "ing", "ed")
+
+
 def stem_english(word: str, _step1b_extra: tuple = ()) -> str:
     """``_step1b_extra``: extra Step_1b delete-group suffixes — the hook
     earlyenglish.sbl uses (its only diff vs english.sbl is adding the
@@ -184,7 +187,11 @@ def stem_english(word: str, _step1b_extra: tuple = ()) -> str:
         elif pre in ("inn", "out", "cann", "herr", "earr", "even"):
             step1b_done = True
     if not step1b_done:
-        for suf in ("ingly", "edly", "ing") + _step1b_extra + ("ed",):
+        sufs = (
+            _STEP1B_SUFFIXES if not _step1b_extra
+            else ("ingly", "edly", "ing") + _step1b_extra + ("ed",)
+        )
+        for suf in sufs:
             if w.endswith(suf):
                 pre = w[: -len(suf)]
                 if _has_vowel(pre):
