@@ -61,6 +61,42 @@ def test_stem_some_engine_vs_oracle(spark, corpus):
     assert m.count_matches(Q.Term("Zsort")) >= m.count_matches(Q.Term("sorted"))
 
 
+def test_stem_col_per_document(spark):
+    """stem_col: each doc is stemmed by its own language column; unknown
+    tags index unstemmed instead of failing; Z-terms are language-correct."""
+    from pyspark.sql import Row
+
+    from xapian_spark.operators.indexer import build_index
+
+    from xapian_spark.operators.indexer import invert_corpus
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="running searches", lang="en"),
+        Row(doc_id=2, text="flickorna springer", lang="sv"),
+        Row(doc_id=3, text="running flickorna", lang="xx"),  # junk tag
+        Row(doc_id=4, text="corriendo buscando", lang=None),  # missing tag
+    ])
+    flat = invert_corpus(docs, id_col="doc_id", content_col="text",
+                         stem_col="lang")
+    terms = {
+        (r["doc_id"], r["term"])
+        for r in flat.select("doc_id", "term").collect()
+    }
+    assert (1, "Zrun") in terms and (1, "Zsearch") in terms
+    assert (2, "Zflick") in terms  # Swedish: flickorna -> flick
+    assert (1, "running") in terms  # STEM_SOME keeps positional originals
+    # doc 3: junk tag -> no Z-terms at all, originals intact
+    assert (3, "running") in terms and (3, "flickorna") in terms
+    assert not any(d == 3 and t.startswith("Z") for d, t in terms)
+    assert not any(d == 4 and t.startswith("Z") for d, t in terms)
+    # mutual exclusion guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        build_index(spark, docs, id_col="doc_id", content_col="text",
+                    stem="en", stem_col="lang")
+
+
 def test_parser_stemming(spark):
     from xapian_spark.plans import query as Q
     from xapian_spark.plans.parser import QueryParser

@@ -154,6 +154,7 @@ def invert_corpus(
     stem_strategy: str = "some",
     boolean_fields: dict[str, str] | None = None,
     ngrams: bool = False,
+    stem_col: str | None = None,
 ) -> DataFrame:
     """Corpus → flat postings (doc_id, term, wdf, positions).
 
@@ -185,7 +186,20 @@ def invert_corpus(
     unbroken-script spans index as unigrams (positional) + bigrams
     (positionless add_term postings whose wdf counts toward doc_len, like
     the reference's action); stemming is never applied to ngram tokens.
+
+    ``stem_col``: per-document stemming — the stemmer is chosen per row
+    from this column's value (ISO code or Snowball name), mirroring the
+    reference's per-TermGenerator ``set_stemmer`` on a multilingual corpus
+    (one TermGenerator per document language).  Rows whose value names no
+    known algorithm (or is null/empty) index unstemmed — at web scale the
+    language tag IS sometimes junk, and a missing Z-form degrades recall
+    for that doc only instead of failing the job.  Mutually exclusive with
+    ``stem``.  Executors resolve each language once per Arrow batch via a
+    memoized registry lookup; query-side, pick the matching
+    QueryParser(stem=...) per query language exactly as the reference does.
     """
+    if stem is not None and stem_col is not None:
+        raise ValueError("stem and stem_col are mutually exclusive")
     base_tok = xapian_tokenize if mode == "xapian" else simple_tokenize
     if stopwords:
         stop = frozenset(stopwords)
@@ -204,6 +218,8 @@ def invert_corpus(
     src = corpus.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(content_col).alias("_content"),
+        *([F.col(stem_col).cast("string").alias("_stem_lang")]
+          if stem_col else []),
         *[F.col(c).cast("string").alias(f"_bf_{c}") for c in bool_fields],
     )
 
@@ -241,7 +257,9 @@ def invert_corpus(
                     acc[t] = (cur[0] + 1, cur[1])
             return acc, dlen
 
-    def _invert_doc(terms: list[str]) -> tuple[dict[str, tuple[int, list[int]]], int]:
+    def _invert_doc(
+        terms: list[str], stemmer=stemmer
+    ) -> tuple[dict[str, tuple[int, list[int]]], int]:
         """term → (wdf, positions); returns (acc, doc_len = Σ wdf)."""
         acc: dict[str, tuple[int, list[int]]] = {}
         dlen = 0
@@ -266,6 +284,27 @@ def invert_corpus(
                 acc[z] = (1, []) if zc is None else (zc[0] + 1, zc[1])
         return acc, dlen
 
+    if stem_col:
+        _lang_cache: dict[str, object] = {}
+
+        def _stemmer_for(lang) -> object:
+            """Memoized per-language resolution; unknown/junk tags -> None
+            (that doc indexes unstemmed rather than failing the job)."""
+            key = (lang or "").strip().lower() if isinstance(lang, str) else ""
+            got = _lang_cache.get(key, _lang_cache)
+            if got is not _lang_cache:
+                return got
+            fn = None
+            if key:
+                from ..functions.stemmers import get_stemmer
+
+                try:
+                    fn = get_stemmer(key)
+                except ValueError:
+                    fn = None
+            _lang_cache[key] = fn
+            return fn
+
     def _invert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_doc: list[int] = []
@@ -276,6 +315,9 @@ def invert_corpus(
             out_pos: list[bytes | None] = []
             ids = pdf["doc_id"].to_numpy()
             texts = pdf["_content"].to_numpy(dtype=object)
+            langs = (
+                pdf["_stem_lang"].to_numpy(dtype=object) if stem_col else None
+            )
             bf_vals = {
                 c: pdf[f"_bf_{c}"].to_numpy(dtype=object) for c in bool_fields
             }
@@ -285,6 +327,8 @@ def invert_corpus(
                     continue
                 if ngrams:
                     acc, dlen = _invert_doc_ngram(tok_mixed(text))
+                elif langs is not None:
+                    acc, dlen = _invert_doc(tok(text), _stemmer_for(langs[r]))
                 else:
                     acc, dlen = _invert_doc(tok(text))
                 did = int(ids[r])
@@ -442,6 +486,7 @@ def build_index(
     stem_strategy: str = "some",
     boolean_fields: dict[str, str] | None = None,
     ngrams: bool = False,
+    stem_col: str | None = None,
 ) -> IndexTables:
     """Build docs/dictionary/postings/stats from a corpus DataFrame.
 
@@ -449,13 +494,15 @@ def build_index(
     output (see sources/checkpoint.py) so the merge phase is shared.
     ``boolean_fields`` (column → term prefix) adds wdf-0 boolean filter
     terms per doc — see invert_corpus.
+    ``stem_col`` selects the stemmer per document from a language column
+    (multilingual corpora) — see invert_corpus.
     """
     flat = flat_postings
     if flat is None:
         flat = invert_corpus(
             corpus, id_col, content_col, mode, with_positions,
             stopwords=stopwords, stem=stem, stem_strategy=stem_strategy,
-            boolean_fields=boolean_fields, ngrams=ngrams,
+            boolean_fields=boolean_fields, ngrams=ngrams, stem_col=stem_col,
         )
     # Persist: consumed by doclens, dictionary and blocks.
     flat = flat.persist()
