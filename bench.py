@@ -161,6 +161,7 @@ def full(cpus: int, sf_dir: str, scale_docs: int, do_scaling: bool) -> dict:
     # BENCH/BASELINE.md for methodology + per-busy-core normalization)
     if do_scaling:
         scaling = {}
+        scaling["host_probe"] = _host_probe()
         n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
         for c in (2, 8):
             # Pin the WHOLE process tree (JVM + GC threads + python workers)
@@ -208,6 +209,33 @@ def full(cpus: int, sf_dir: str, scale_docs: int, do_scaling: bool) -> dict:
 
     result["value"] = round(time.perf_counter() - t_start, 3)
     return result
+
+
+def _host_probe() -> dict:
+    """Fixed-work pure-Python control: identical per-process loops on 2 vs
+    8 pinned cores.  No engine code — the ratio isolates host/VM weather
+    (neighbor load, steal) from engine scaling, since an ideal host gives
+    1.0.  Measured on this box: 0.92 quiet, 0.83 under evening neighbor
+    load — a swing that moves the wall-clock efficiency by ±0.2 on its
+    own (see BENCH/BASELINE.md)."""
+    code = "s=0\nfor i in range(20_000_000): s+=i*i\n"
+    out = {}
+    for n in (2, 8):
+        cmd_base = [sys.executable, "-c", code]
+        t0 = time.perf_counter()
+        procs = []
+        for i in range(n):
+            cmd = cmd_base
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", str(i)] + cmd_base
+            procs.append(subprocess.Popen(cmd))
+        for p in procs:
+            p.wait()
+        out[f"fixed_work_{n}procs_sec"] = round(time.perf_counter() - t0, 2)
+    out["host_per_core_ratio"] = round(
+        out["fixed_work_2procs_sec"] / out["fixed_work_8procs_sec"], 3
+    )
+    return out
 
 
 def main():
