@@ -142,6 +142,35 @@ class IndexTables:
     def synonyms(self, term: str) -> list[str]:
         return list(self.metadata.get(self.SYNONYM_KEY, {}).get(term, []))
 
+    # -- per-value-slot statistics (Database::get_value_freq /
+    #    get_value_lower_bound / get_value_upper_bound,
+    #    include/xapian/database.h:313-415; stored per slot by the glass
+    #    backend, backends/valuestats.h:28-52).  Our value slots are typed
+    #    docs-table columns, so the stats are one tiny aggregation backed by
+    #    parquet column min/max metadata; memoized per column like the
+    #    reference's cached ValueStats. ------------------------------------
+    def _value_stats(self, column: str) -> tuple[int, object, object]:
+        cache = self.__dict__.setdefault("_value_stats_cache", {})
+        if column not in cache:
+            c = F.col(column)
+            row = self.docs.agg(
+                F.count(c).alias("freq"), F.min(c).alias("lo"), F.max(c).alias("hi")
+            ).collect()[0]
+            cache[column] = (int(row["freq"]), row["lo"], row["hi"])
+        return cache[column]
+
+    def value_freq(self, column: str) -> int:
+        """Number of documents with a value in this slot (non-null rows)."""
+        return self._value_stats(column)[0]
+
+    def value_lower_bound(self, column: str):
+        """Smallest value in the slot (None when no doc has one)."""
+        return self._value_stats(column)[1]
+
+    def value_upper_bound(self, column: str):
+        """Largest value in the slot (None when no doc has one)."""
+        return self._value_stats(column)[2]
+
 
 def invert_corpus(
     corpus: DataFrame,

@@ -210,6 +210,7 @@ class Matcher:
         q: Q.Query,
         maxitems: int = 10,
         first: int = 0,
+        check_at_least: int = 0,
         with_count: bool = False,
         with_percent: bool = False,
         sort_by_value: str | None = None,
@@ -238,6 +239,13 @@ class Matcher:
         (enquire.h:312) — drop results whose percent score (mset.cc:449-480
         math, exact) is below percent_cutoff, or whose weight is below
         weight_cutoff.
+
+        ``check_at_least``: the third get_mset argument (enquire.h:383-404)
+        — "check at least this many documents so the match-count bounds are
+        accurate to it".  Our counts are exact, so any check_at_least > 0
+        yields the exact count (a strictly tighter answer than the
+        reference's lower/upper bounds); the parameter exists for API
+        parity and, like the reference, costs nothing when 0.
         """
         q = Q.normalize(q)
         if isinstance(q, Q.MatchNothing):
@@ -296,7 +304,7 @@ class Matcher:
         res = MSetResult(
             df=out, max_possible=max_possible, max_attained=max_attained
         )
-        if with_count:
+        if with_count or check_at_least > 0:
             res.matches = matched.count()
         if with_percent:
             res.percents = {
@@ -739,11 +747,20 @@ class Matcher:
         UDF over dictionary partitions); only matched terms reach the
         driver.  Mirrors the reference's skip-ucase rule: when the target
         doesn't start with an upper-case letter, prefixed terms (A-Z first
-        byte) are excluded from expansion."""
+        byte) are excluded from expansion.
+
+        A JVM-side length band (|len(term) - len(target)| ≤ k — every edit
+        changes the length by at most 1, so this removes no true match)
+        runs BELOW the Python distance UDF: at dictionary scale the band +
+        ucase filters eliminate most terms before any Python executes."""
         cand = self.index.dictionary
         if not (q.target[:1].isupper()):
             first = F.substring("term", 1, 1)
             cand = cand.filter(~first.between("A", "Z"))
+        cand = cand.filter(
+            F.abs(F.length("term") - F.lit(len(q.target)))
+            <= F.lit(q.max_edit_distance)
+        )
         if q.metric == "levenshtein":
             dist = F.levenshtein(F.lit(q.target), F.col("term"))
         else:

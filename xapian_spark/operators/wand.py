@@ -196,8 +196,20 @@ def wand_topk(
     else:
         exact = cand.select("doc_id", F.col("partial").alias("weight"))
 
+    # Materialize the k result rows (tiny) so every intermediate cache can
+    # be released NOW — returning a lazy plan over `partials`/`cand` would
+    # leak their persisted partitions for the caller's lifetime (long-lived
+    # sessions accumulate cached blocks otherwise).
+    rows = (
+        exact.orderBy(F.desc("weight"), F.asc("doc_id")).limit(k).collect()
+    )
     meta.unpersist()
-    return exact.orderBy(F.desc("weight"), F.asc("doc_id")).limit(k)
+    partials.unpersist()
+    cand.unpersist()
+    return spark.createDataFrame(
+        [(r["doc_id"], float(r["weight"])) for r in rows],
+        "doc_id long, weight double",
+    )
 
 
 def _score_decoded(blocks: DataFrame, consts: DataFrame, params: BM25Params) -> DataFrame:
