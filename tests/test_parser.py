@@ -190,6 +190,98 @@ def test_bare_range_processor():
     assert q.right.lo == "2024-01-01" and q.right.hi == "2024-12-31"
 
 
+def _date_vr(q):
+    assert isinstance(q, Q.Filter), q
+    vr = q.right
+    assert isinstance(vr, Q.ValueRange), vr
+    return vr
+
+
+def test_date_range_processor_formats():
+    """Ported from tests/api_queryparser.cc test_value_range2_queries date
+    cases (rangeproc.cc:185-260 formats)."""
+    import datetime as dt
+
+    from xapian_spark.plans.parser import DateRangeProcessor
+
+    p = QueryParser()
+    p.add_rangeprocessor(DateRangeProcessor(column="date", field="date"))
+    d = dt.date
+    # { "1999-03-12..2020-12-30", "VALUE_RANGE 1 19990312 20201230" }
+    for sep in ("-", "/", "."):
+        q = p.parse_query(f"hash date:1999{sep}03{sep}12..2020{sep}12{sep}30")
+        vr = _date_vr(q)
+        assert (vr.lo, vr.hi) == (d(1999, 3, 12), d(2020, 12, 30)), sep
+    # YYYYMMDD
+    vr = _date_vr(p.parse_query("hash date:19990312..20201230"))
+    assert (vr.lo, vr.hi) == (d(1999, 3, 12), d(2020, 12, 30))
+    # single-ended (ticket#480 cases)
+    vr = _date_vr(p.parse_query("hash date:..2020.12.30"))
+    assert (vr.lo, vr.hi) == (None, d(2020, 12, 30))
+    vr = _date_vr(p.parse_query("hash date:1999.03.12.."))
+    assert (vr.lo, vr.hi) == (d(1999, 3, 12), None)
+    # { "12/03/99..12/04/01", "VALUE_RANGE 1 19990312 20010412" } — DMY +
+    # 2-digit year epoch pivot
+    vr = _date_vr(p.parse_query("hash date:12/03/99..12/04/01"))
+    assert (vr.lo, vr.hi) == (d(1999, 3, 12), d(2001, 4, 12))
+    # { "03-12-99..04-14-01", ... 19990312 20010414 } — forced MDY (day 14
+    # can't be a month)
+    vr = _date_vr(p.parse_query("hash date:03-12-99..04-14-01"))
+    assert (vr.lo, vr.hi) == (d(1999, 3, 12), d(2001, 4, 14))
+    # { "1/2/3..2/3/4", ... 20030201 20040302 } — epoch pivot on tiny years
+    vr = _date_vr(p.parse_query("hash date:1/2/3..2/3/4"))
+    assert (vr.lo, vr.hi) == (d(2003, 2, 1), d(2004, 3, 2))
+
+
+def test_date_range_prefer_mdy_and_fallback():
+    from xapian_spark.plans.parser import DateRangeProcessor
+
+    import datetime as dt
+
+    p = QueryParser()
+    p.add_rangeprocessor(
+        DateRangeProcessor(column="date", field="date", prefer_mdy=True)
+    )
+    # ambiguous 2/3/2025..3/4/2025: MDY preferred → Feb 3 .. Mar 4
+    vr = _date_vr(p.parse_query("hash date:2/3/2025..3/4/2025"))
+    assert (vr.lo, vr.hi) == (dt.date(2025, 2, 3), dt.date(2025, 3, 4))
+    # garbage endpoints → not a date range → falls back to plain terms
+    q = p.parse_query("date:notadate..alsonot")
+    assert not isinstance(q, (Q.Filter, Q.ValueRange))
+
+
+def test_unit_range_processor():
+    """UnitRangeProcessor (rangeproc.cc:324-440): byte suffixes B/K/M/G/T,
+    start inheriting the end's unit, and the must-have-unit rules."""
+    from xapian_spark.plans.parser import UnitRangeProcessor
+
+    p = QueryParser()
+    p.add_rangeprocessor(UnitRangeProcessor(column="n_chars", field="size"))
+
+    vr = _date_vr(p.parse_query("hash size:3K..10K"))
+    assert (vr.lo, vr.hi) == (3 * 1024.0, 10 * 1024.0)
+    # start without unit inherits the end's factor: 20..100K ≡ 20K..100K
+    vr = _date_vr(p.parse_query("hash size:20..100K"))
+    assert (vr.lo, vr.hi) == (20 * 1024.0, 100 * 1024.0)
+    # open ends
+    vr = _date_vr(p.parse_query("hash size:..1M"))
+    assert (vr.lo, vr.hi) == (None, 1024.0 * 1024.0)
+    vr = _date_vr(p.parse_query("hash size:5B.."))
+    assert (vr.lo, vr.hi) == (5.0, None)
+    for unit, factor in (("B", 1.0), ("K", 1024.0), ("M", 1024.0**2),
+                         ("G", 1024.0**3), ("T", 1024.0**4)):
+        vr = _date_vr(p.parse_query(f"hash size:..2{unit}"))
+        assert vr.hi == 2 * factor, unit
+    # no unit anywhere → not a unit range (falls back to terms)
+    q = p.parse_query("size:200..")
+    assert not isinstance(q, (Q.Filter, Q.ValueRange))
+    q = p.parse_query("size:2..10")
+    assert not isinstance(q, (Q.Filter, Q.ValueRange))
+    # invalid unit letter rejects
+    q = p.parse_query("size:3X..5K")
+    assert not isinstance(q, (Q.Filter, Q.ValueRange))
+
+
 def test_synonym_flag_and_table():
     from xapian_spark.plans.parser import (
         DEFAULT_FLAGS,

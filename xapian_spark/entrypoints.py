@@ -37,12 +37,22 @@ def get_matcher(spark: SparkSession, sf_dir: str) -> Matcher:
     key = sf_dir
     if key not in _CACHE:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # Deterministic per-doc date value slot (the documents table carries
+        # none): 2020-01-01 + (doc_id mod 1000) days.  Mirrored verbatim in
+        # the date-range oracle SQL.
+        docs = docs.withColumn(
+            "date",
+            F.date_add(
+                F.to_date(F.lit("2020-01-01")),
+                (F.col("doc_id") % 1000).cast("int"),
+            ),
+        )
         ix = build_index(
             spark,
             docs,
             id_col="doc_id",
             content_col="text",
-            meta_cols=["lang", "source", "n_chars"],
+            meta_cols=["lang", "source", "n_chars", "date"],
             mode="simple",
             with_positions=True,
             # boolean filter terms (wdf 0, outside all BM25 stats) backing
@@ -475,6 +485,65 @@ _register(
 SELECT s.doc_id, round(sum(s.s), {ROUND}) AS score
 FROM scored s
 WHERE s.doc_id IN (SELECT doc_id FROM documents WHERE n_chars BETWEEN 150 AND 400)
+GROUP BY s.doc_id ORDER BY score DESC, doc_id ASC LIMIT 30""",
+    ),
+)
+
+
+def _q_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryParser DateRangeProcessor (queryparser.h:254-352,
+    api/rangeproc.cc:185-260): ``date:1/3/2020..30/6/2020`` — D/M/Y endpoint
+    format with the DMY/MDY disambiguation — lowers to OP_VALUE_RANGE over
+    the DATE value slot derived in get_matcher."""
+    from .plans.parser import DateRangeProcessor, QueryParser
+
+    m = get_matcher(spark, sf_dir)
+    p = QueryParser(mode="simple")
+    p.add_rangeprocessor(DateRangeProcessor(column="date", field="date"))
+    q = p.parse_query("hash date:1/3/2020..30/6/2020")
+    return _topk(m, q, 30)
+
+
+_register(
+    "bm25_date_range",
+    _q_date_range,
+    _bm25_sql(
+        ["hash"],
+        f"""
+SELECT s.doc_id, round(sum(s.s), {ROUND}) AS score
+FROM scored s
+WHERE s.doc_id IN (
+  SELECT doc_id FROM documents
+  WHERE DATE '2020-01-01' + ((doc_id % 1000)::INT)
+        BETWEEN DATE '2020-03-01' AND DATE '2020-06-30')
+GROUP BY s.doc_id ORDER BY score DESC, doc_id ASC LIMIT 30""",
+    ),
+)
+
+
+def _q_unit_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryParser UnitRangeProcessor (queryparser.h:423-467,
+    api/rangeproc.cc:324-440): ``size:0.25K..0.5K`` → 256..512 bytes over
+    the n_chars value slot."""
+    from .plans.parser import QueryParser, UnitRangeProcessor
+
+    m = get_matcher(spark, sf_dir)
+    p = QueryParser(mode="simple")
+    p.add_rangeprocessor(UnitRangeProcessor(column="n_chars", field="size"))
+    q = p.parse_query("hash size:0.25K..0.5K")
+    return _topk(m, q, 30)
+
+
+_register(
+    "bm25_unit_range",
+    _q_unit_range,
+    _bm25_sql(
+        ["hash"],
+        f"""
+SELECT s.doc_id, round(sum(s.s), {ROUND}) AS score
+FROM scored s
+WHERE s.doc_id IN
+  (SELECT doc_id FROM documents WHERE n_chars BETWEEN 256.0 AND 512.0)
 GROUP BY s.doc_id ORDER BY score DESC, doc_id ASC LIMIT 30""",
     ),
 )

@@ -83,14 +83,258 @@ class NumberRangeProcessor(RangeProcessor):
     our value slots are native typed columns, so endpoints just become
     numbers (functions/sortable.py proves byte-level parity separately)."""
 
-    def parse(self, lo: str, hi: str) -> Q.Query:
+    def parse(self, lo: str, hi: str) -> Q.Query | None:
         def num(s):
             if not s:
                 return None
             f = float(s)
             return int(f) if f.is_integer() else f
 
-        return Q.ValueRange(self.column, num(lo), num(hi))
+        try:
+            return Q.ValueRange(self.column, num(lo), num(hi))
+        except ValueError:
+            return None  # not a number → OP_INVALID (text stays plain terms)
+
+
+# ---- DateRangeProcessor (api/rangeproc.cc:39-260) --------------------------
+
+_DIGITS = frozenset("0123456789")
+
+# We just need month <= 12 and a loose day bound to decide if an ambiguous
+# aa/bb/cc date COULD be a given format (rangeproc.cc:71-77 keeps Feb at 29
+# "without being anal about exact month lengths").
+_MAX_MONTH_LEN = (31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+
+
+def _decode_xxy(s: str):
+    """rangeproc.cc:39-69 — parse ``x1<sep>x2<sep>y`` with sep ∈ {/,-,.},
+    1-2 digit x fields in 1..31, 1-4 digit year.  Empty → (-1,-1,-1)
+    (open endpoint); unparseable → None."""
+    if s == "":
+        return (-1, -1, -1)
+    if not (5 <= len(s) <= 10):
+        return None
+    i = 0
+    if s[i] not in _DIGITS:
+        return None
+    x1 = ord(s[i]) - 48
+    i += 1
+    if i < len(s) and s[i] in _DIGITS:
+        x1 = x1 * 10 + ord(s[i]) - 48
+        i += 1
+    if not (1 <= x1 <= 31):
+        return None
+    if i >= len(s) or s[i] not in "/-.":
+        return None
+    sep = s[i]
+    i += 1
+    if i >= len(s) or s[i] not in _DIGITS:
+        return None
+    x2 = ord(s[i]) - 48
+    i += 1
+    if i < len(s) and s[i] in _DIGITS:
+        x2 = x2 * 10 + ord(s[i]) - 48
+        i += 1
+    if not (1 <= x2 <= 31):
+        return None
+    if i >= len(s) or s[i] != sep:
+        return None
+    i += 1
+    if len(s) - i > 4:
+        return None
+    if i >= len(s) or s[i] not in _DIGITS:
+        return None
+    y = 0
+    while i < len(s) and s[i] in _DIGITS:
+        y = y * 10 + ord(s[i]) - 48
+        i += 1
+    return (x1, x2, y) if i == len(s) else None
+
+
+def _vet_dm(d: int, m: int) -> bool:
+    """rangeproc.cc:79-87."""
+    if m == -1:
+        return True
+    if m > 12 or m < 1:
+        return False
+    return 1 <= d <= _MAX_MONTH_LEN[m - 1]
+
+
+def _is_yyyy_mm_dd(s: str) -> bool:
+    """rangeproc.cc:89-97 (length already checked to be 10)."""
+    return (
+        all(c in _DIGITS for c in s[:4] + s[5:7] + s[8:10])
+        and s[4] == s[7]
+        and s[4] in "-./"
+    )
+
+
+@dataclass
+class DateRangeProcessor(RangeProcessor):
+    """Date range (queryparser.h:254-352, api/rangeproc.cc:185-260):
+    ``date:2020-03-01..2020-06-30`` → OP_VALUE_RANGE over a DATE column.
+
+    Recognised endpoint formats (any mix): YYYYMMDD, YYYY-MM-DD (sep -, .
+    or /), and D/M/Y or M/D/Y with 1-2 digit day/month, 1-4 digit year and
+    sep -, . or /.  Ambiguous x/y/z dates assume start ≤ end to
+    disambiguate, else day/month/year unless ``prefer_mdy``
+    (RP_DATE_PREFER_MDY).  2-digit years pivot on ``epoch_year``: y+1900,
+    +100 more if still below the epoch (so 1/1/69 → 2069 with the default
+    1970).  Either endpoint may be empty (open range).
+
+    The reference serializes to a "YYYYMMDD" string value; our value slots
+    are typed columns, so endpoints become datetime.date.  Divergence: a
+    vetted-but-invalid calendar day (e.g. Feb 29 in a non-leap year — the
+    reference compares it lexically) is rejected here (falls back to a
+    plain term) because a DATE column has no such value.
+    """
+
+    prefer_mdy: bool = False
+    epoch_year: int = 1970
+
+    def parse(self, lo: str, hi: str) -> Q.Query | None:
+        import datetime
+
+        b, e = lo, hi
+
+        def mk(lo_d, hi_d):
+            return Q.ValueRange(self.column, lo_d, hi_d)
+
+        def ymd(y, m, d):
+            return datetime.date(y, m, d)  # may raise ValueError → caller
+
+        try:
+            # YYYYMMDD (rangeproc.cc:188-195)
+            if (
+                len(b) in (0, 8)
+                and len(e) in (0, 8)
+                and all(c in _DIGITS for c in b + e)
+            ):
+                return mk(
+                    ymd(int(b[:4]), int(b[4:6]), int(b[6:8])) if b else None,
+                    ymd(int(e[:4]), int(e[4:6]), int(e[6:8])) if e else None,
+                )
+            # YYYY-MM-DD (rangeproc.cc:196-211)
+            if (
+                len(b) in (0, 10)
+                and len(e) in (0, 10)
+                and (not b or _is_yyyy_mm_dd(b))
+                and (not e or _is_yyyy_mm_dd(e))
+            ):
+                return mk(
+                    ymd(int(b[:4]), int(b[5:7]), int(b[8:10])) if b else None,
+                    ymd(int(e[:4]), int(e[5:7]), int(e[8:10])) if e else None,
+                )
+            # x/y/z with DMY/MDY disambiguation (rangeproc.cc:212-258)
+            db, de = _decode_xxy(b), _decode_xxy(e)
+            if db is None or de is None:
+                return None
+            b_d, b_m, b_y = db
+            e_d, e_m, e_y = de
+            if (
+                not self.prefer_mdy
+                and _vet_dm(b_d, b_m)
+                and _vet_dm(e_d, e_m)
+                and (b_y != e_y or b_m < e_m or (b_m == e_m and b_d <= e_d))
+            ):
+                pass  # consistent as DMY
+            elif (
+                _vet_dm(b_m, b_d)
+                and _vet_dm(e_m, e_d)
+                and (b_y != e_y or b_d < e_d or (b_d == e_d and b_m <= e_m))
+            ):
+                b_m, b_d = b_d, b_m
+                e_m, e_d = e_d, e_m
+            elif (
+                self.prefer_mdy
+                and _vet_dm(b_d, b_m)
+                and _vet_dm(e_d, e_m)
+                and (b_y != e_y or b_m < e_m or (b_m == e_m and b_d <= e_d))
+            ):
+                pass
+            else:
+                return None
+
+            def pivot(y):
+                if y < 100:
+                    y += 1900
+                    if y < self.epoch_year:
+                        y += 100
+                return y
+
+            return mk(
+                ymd(pivot(b_y), b_m, b_d) if b else None,
+                ymd(pivot(e_y), e_m, e_d) if e else None,
+            )
+        except ValueError:
+            return None  # invalid calendar date (see divergence note)
+
+
+# ---- UnitRangeProcessor (api/rangeproc.cc:324-440) -------------------------
+
+_BYTE_UNITS = {
+    "B": 1.0,
+    "K": 1024.0,
+    "M": 1024.0 * 1024.0,
+    "G": 1024.0 * 1024.0 * 1024.0,
+    "T": 1024.0 * 1024.0 * 1024.0 * 1024.0,
+}
+
+# strtod-style longest numeric prefix
+_FLOAT_PREFIX_RX = re.compile(r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?")
+
+
+@dataclass
+class UnitRangeProcessor(RangeProcessor):
+    """Byte-unit range (queryparser.h:423-467, api/rangeproc.cc:324-440):
+    ``size:3K..10K`` → OP_VALUE_RANGE in bytes.  Unit suffixes B/K/M/G/T
+    scale by 1024ᵏ.  Reference rules ported exactly: the END endpoint must
+    carry a unit when non-empty; a unit-less START inherits the end's
+    factor (``20..100K`` ≡ 20K..100K); an empty end requires the start to
+    have a unit (``200..`` is not a unit range).  The reference serializes
+    through sortable_serialise — our slots are typed numeric columns, so
+    endpoints stay doubles (byte-level sortable parity is proven separately
+    in functions/sortable.py)."""
+
+    def parse(self, lo: str, hi: str) -> Q.Query | None:
+        num_b = 0.0
+        b_has_unit = False
+        if lo:
+            m = _FLOAT_PREFIX_RX.match(lo)
+            if m is None:
+                return None
+            num_b = float(m.group(0))
+            rest = lo[m.end():]
+            if len(rest) == 1:
+                factor_b = _BYTE_UNITS.get(rest)
+                if factor_b is None:
+                    return None
+                b_has_unit = True
+                num_b *= factor_b
+            # rangeproc.cc:374: longer trailing text after the number is
+            # ignored by strtod-based parsing (only size-1 is a unit check)
+        num_e = 0.0
+        if hi:
+            m = _FLOAT_PREFIX_RX.match(hi)
+            if m is None:
+                return None
+            num_e = float(m.group(0))
+            rest = hi[m.end():]
+            if len(rest) == 1:
+                factor_e = _BYTE_UNITS.get(rest)
+                if factor_e is None:
+                    return None
+                num_e *= factor_e
+                if lo and not b_has_unit:
+                    # 20..100K means 20K..100K (rangeproc.cc:415-419)
+                    num_b *= factor_e
+            else:
+                return None  # non-empty end must carry a unit
+        elif lo and not b_has_unit:
+            return None  # "200.." — no unit anywhere (rangeproc.cc:428-432)
+        return Q.ValueRange(
+            self.column, num_b if lo else None, num_e if hi else None
+        )
 
 _TOKEN_RX = re.compile(
     r"""
@@ -116,6 +360,7 @@ class _Tok:
     field: str | None = None  # registered field name the token was scoped to
     proc: object | None = None  # RangeProcessor for kind='range'
     hi: str | None = None  # range upper endpoint (text holds lo)
+    raw: str | None = None  # original word (fallback when a range rejects)
 
 
 class QueryParser:
@@ -247,7 +492,9 @@ class QueryParser:
                     pending_prefix = None
         return out
 
-    _RANGE_RX = re.compile(r"^(?:(?P<f>[A-Za-z_][\w]*):)?(?P<lo>[^.]*)\.\.(?P<hi>.*)$")
+    # lo is non-greedy so the FIRST ".." splits the range — endpoints may
+    # themselves contain single dots (dates like 25.12.2025, sizes like 0.5K)
+    _RANGE_RX = re.compile(r"^(?:(?P<f>[A-Za-z_][\w]*):)?(?P<lo>.*?)\.\.(?P<hi>.*)$")
 
     def _classify_word(
         self, word: str, pending_prefix: str | None
@@ -261,7 +508,13 @@ class QueryParser:
             proc = self._range_procs.get(f)
             if proc is not None:
                 return (
-                    _Tok("range", rm.group("lo"), proc=proc, hi=rm.group("hi")),
+                    _Tok(
+                        "range",
+                        rm.group("lo"),
+                        proc=proc,
+                        hi=rm.group("hi"),
+                        raw=word,
+                    ),
                     None,
                 )
         if ":" in word:
@@ -382,7 +635,15 @@ class QueryParser:
                 # a group is a full primary when alone; keep collecting words
                 continue
             if t.kind == "range":
-                range_filters.append(t.proc.parse(t.text, t.hi))
+                parsed = t.proc.parse(t.text, t.hi)
+                if parsed is not None:
+                    range_filters.append(parsed)
+                else:
+                    # processor rejected the endpoints (reference returns
+                    # OP_INVALID and the text parses as ordinary terms)
+                    node = self._word_node(t.raw if t.raw is not None else t.text)
+                    if node is not None:
+                        normals.append(node)
                 got = True
                 i += 1
                 continue
