@@ -282,6 +282,36 @@ def test_unit_range_processor():
     assert not isinstance(q, (Q.Filter, Q.ValueRange))
 
 
+def test_spelling_correction_flag(spark, index):
+    """FLAG_SPELLING_CORRECTION + get_corrected_query_string
+    (queryparser.h:592-604, 868+; queryparser.lemony:1668-1685)."""
+    from xapian_spark.plans.parser import FLAG_SPELLING_CORRECTION
+
+    p = QueryParser(flags=DEFAULT_FLAGS | FLAG_SPELLING_CORRECTION)
+    p.set_database(index)
+    # misspelled term → corrected string; parsed query keeps the original
+    q = p.parse_query("retrn value")
+    assert p.get_corrected_query_string() == "return value"
+    assert "retrn" in repr(q)
+    # exact-word-more-frequent rejection (database.cc:465-467): "return"
+    # itself is the hottest term — no correction suggested for it
+    p.parse_query("return value")
+    assert p.get_corrected_query_string() == ""
+    # field-scoped words are skipped (empty-prefix guard)
+    p2 = QueryParser(flags=DEFAULT_FLAGS | FLAG_SPELLING_CORRECTION)
+    p2.set_database(index)
+    p2.add_boolean_prefix("lang", "XL")
+    p2.parse_query("lang:retrn")
+    assert p2.get_corrected_query_string() == ""
+    # words of length <= 1 never suggest (database.cc:403)
+    p2.parse_query("a")
+    assert p2.get_corrected_query_string() == ""
+    # no database attached → flag is inert
+    p3 = QueryParser(flags=DEFAULT_FLAGS | FLAG_SPELLING_CORRECTION)
+    p3.parse_query("retrn")
+    assert p3.get_corrected_query_string() == ""
+
+
 def test_synonym_flag_and_table():
     from xapian_spark.plans.parser import (
         DEFAULT_FLAGS,

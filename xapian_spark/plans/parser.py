@@ -60,6 +60,7 @@ FLAG_WILDCARD = 8
 FLAG_FUZZY = 16
 FLAG_SYNONYM = 32  # '~term' syntax (queryparser.h:605)
 FLAG_AUTO_SYNONYMS = 64  # every term auto-expands (queryparser.h:619)
+FLAG_SPELLING_CORRECTION = 128  # "did you mean" (queryparser.h:592-604)
 DEFAULT_FLAGS = FLAG_BOOLEAN | FLAG_PHRASE | FLAG_LOVEHATE
 
 
@@ -398,6 +399,39 @@ class QueryParser:
         #: query-expansion synonym dictionary (glass_synonym.h analog):
         #: term → [synonyms].  Set directly or via use_synonyms(index).
         self._synonyms: dict[str, list[str]] = {}
+        self._corrected_query = ""
+        self._corrections: list[tuple[int, int, str]] = []
+
+    def set_database(self, index) -> None:
+        """Attach an index for FLAG_SPELLING_CORRECTION
+        (QueryParser::set_database, queryparser.h:880+): spelling
+        suggestions come from its dictionary via the trigram table, which
+        is built lazily ONCE and cached on the parser."""
+        self._spell_index = index
+        self._spell_trigrams = None
+        self._spell_cache: dict[str, str | None] = {}
+
+    def get_corrected_query_string(self) -> str:
+        """The last parsed query with spelling corrections applied
+        (queryparser.h:868+) — empty string when no term was corrected.
+        Corrections never alter the parsed Query itself, exactly like the
+        reference: callers display "did you mean …?" and re-parse."""
+        return self._corrected_query
+
+    def _suggest(self, term: str) -> str | None:
+        ix = getattr(self, "_spell_index", None)
+        if ix is None:
+            return None
+        if term in self._spell_cache:
+            return self._spell_cache[term]
+        from ..operators.spelling import suggest, trigram_table
+
+        if self._spell_trigrams is None:
+            self._spell_trigrams = trigram_table(ix.dictionary).persist()
+        spark = ix.dictionary.sparkSession
+        got = suggest(spark, ix, term, trigrams=self._spell_trigrams)
+        self._spell_cache[term] = got
+        return got
 
     def set_synonyms(self, synonyms: dict[str, list[str]]) -> None:
         """Attach a synonym table (small, driver-side — the reference reads
@@ -433,7 +467,17 @@ class QueryParser:
 
     # -- public ------------------------------------------------------------
     def parse_query(self, text: str) -> Q.Query:
+        self._corrected_query = ""
+        self._corrections: list[tuple[int, int, str]] = []
         toks = self._lex(text)
+        if self._corrections:
+            # splice suggestions into the ORIGINAL query string, right to
+            # left so earlier spans stay valid (queryparser.lemony:1668-1685
+            # does the same with a running offset)
+            out = text
+            for start, end, sug in sorted(self._corrections, reverse=True):
+                out = out[:start] + sug + out[end:]
+            self._corrected_query = out
         if not toks:
             return Q.MatchNothing()
         tree, pos = self._parse_or(toks, 0)
@@ -488,6 +532,22 @@ class QueryParser:
                 word = m.group("word") or m.group("op") or m.group("near")
                 tok, pending_field = self._classify_word(word, pending_prefix)
                 if tok is not None:
+                    # FLAG_SPELLING_CORRECTION (queryparser.lemony:1668-1685):
+                    # only plain unprefixed free-text terms are checked —
+                    # field-scoped words, ranges, fuzzy/synonym syntax and
+                    # wildcards are skipped like the reference's
+                    # empty-prefix + !was_acronym guard.
+                    if (
+                        self.flags & FLAG_SPELLING_CORRECTION
+                        and tok.kind == "word"
+                        and tok.field is None
+                        and not (self.flags & FLAG_WILDCARD and tok.text.endswith("*"))
+                    ):
+                        terms = self._tok(tok.text)
+                        if len(terms) == 1:
+                            s = self._suggest(terms[0])
+                            if s is not None and s != terms[0]:
+                                self._corrections.append((m.start(), m.end(), s))
                     out.append(tok)
                     pending_prefix = None
         return out
