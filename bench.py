@@ -85,7 +85,10 @@ def build_only(cpus: int, n_docs: int, seed: int = 42) -> dict:
 
 
 HEADLINE = [
+    "bm25_single_hot",
+    "bm25_wand_hot",  # block-max WAND pruned counterpart of bm25_single_hot
     "bm25_or2",
+    "bm25_wand_or2",  # pruned counterpart of bm25_or2
     "bm25_or4",
     "bm25_and",
     "bm25_andnot",

@@ -18,6 +18,24 @@ def test_eset_bo1_matches_oracle(spark, index, oracle):
         assert abs(a - b) < 1e-9
 
 
+def test_eset_prob_matches_oracle(spark, index, oracle):
+    """ProbEWeight (expand/probeweight.cc) vs the pure-Python oracle, at
+    the default expand_k=0 and a non-zero k (which exercises the
+    doclen/avlen multiplier accumulate path, expandweight.h:84)."""
+    from xapian_spark.operators.expand import eset_prob, eset_prob_oracle
+
+    rset = [1, 2, 3, 10, 57]
+    for k in (0.0, 1.5):
+        got = [
+            (r["term"], r["wt"])
+            for r in eset_prob(spark, index, rset, 10, expand_k=k).collect()
+        ]
+        want = eset_prob_oracle(oracle.ix, rset, 10, expand_k=k)
+        assert [t for t, _ in got] == [t for t, _ in want], f"k={k}"
+        for (_, a), (_, b) in zip(got, want):
+            assert abs(a - b) < 1e-9
+
+
 def test_eset_excludes_terms(spark, index, oracle):
     from xapian_spark.operators.expand import eset_bo1, eset_bo1_oracle
 

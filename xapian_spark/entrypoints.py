@@ -309,6 +309,39 @@ FROM post JOIN tw ON post.term = tw.term JOIN dl ON dl.doc_id = post.doc_id
 GROUP BY post.doc_id ORDER BY score DESC, post.doc_id ASC LIMIT 20""",
 )
 
+# ---- Block-max WAND pruned path (operators/wand.py) ----------------------
+# Same oracle shape as the exhaustive entries: the kernel is EXACT
+# (matcher/postlisttree.h:131-190 analog), so the pruned top-k must
+# hash-match the very SQL that checks the exhaustive plan.  The pruned set
+# is fetched at 2k by raw weight, then re-ranked by the rounded score the
+# oracle orders on (same protocol as _topk's round-then-rank).
+
+
+def _q_wand_topk(query: Q.Query, k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        m = get_matcher(spark, sf_dir)
+        pruned = m.mset_df(query, 2 * k, prune=True)
+        return (
+            pruned.select("doc_id", F.round(F.col("weight"), ROUND).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    return run
+
+
+_register(
+    "bm25_wand_hot",
+    _q_wand_topk(Q.Term("the"), 20),
+    _bm25_sql(["the"], _topk_body(20)),
+)
+_register(
+    "bm25_wand_or2",
+    _q_wand_topk(Q.Or([Q.Term("hash"), Q.Term("join")]), 20),
+    _bm25_sql(["hash", "join"], _topk_body(20)),
+)
+
+
 def _q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP_EDIT_DISTANCE as a query node (query.h:269): expand 'hsah'~2
     against the dictionary and score as an OR.  metric='levenshtein' so the
@@ -945,6 +978,40 @@ _register(
 SELECT c.term,
        round(c.rcollfreq::DOUBLE * (ln((1.0 + ts.cf::DOUBLE / st.n) / (ts.cf::DOUBLE / st.n)) / ln(2.0))
              + ln(1.0 + ts.cf::DOUBLE / st.n) / ln(2.0), {ROUND}) AS wt
+FROM cand c JOIN tstat ts ON ts.term = c.term, st
+ORDER BY wt DESC, c.term ASC LIMIT 10""",
+)
+
+
+def _q_eset_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProbEWeight expansion (expand/probeweight.cc:31-42), expand_k=0 —
+    the second of the two reference expansion schemes beside Bo1."""
+    from .operators.expand import eset_prob
+
+    m = get_matcher(spark, sf_dir)
+    return eset_prob(
+        spark,
+        m.index,
+        list(_RSET),
+        maxitems=10,
+        exclude_term_prefixes=("XL", "XSOURCE"),
+        rank_round=ROUND,
+    )
+
+
+_register(
+    "eset_prob",
+    _q_eset_prob,
+    _PRELUDE
+    + f"""
+, rset(doc_id) AS (VALUES {', '.join(f'({i})' for i in _RSET)})
+, cand AS (
+  SELECT p.term, count(*)::DOUBLE AS r
+  FROM post p JOIN rset rs ON p.doc_id = rs.doc_id GROUP BY p.term
+)
+SELECT c.term,
+       round(c.r * ln(((c.r + 0.5) * (st.n - ts.tf - ({len(_RSET)} - c.r) + 0.5))
+             / ((ts.tf - c.r + 0.5) * (({len(_RSET)} - c.r) + 0.5))), {ROUND}) AS wt
 FROM cand c JOIN tstat ts ON ts.term = c.term, st
 ORDER BY wt DESC, c.term ASC LIMIT 10""",
 )
