@@ -1217,19 +1217,62 @@ GROUP BY per.doc_id""",
 )
 
 
+_SNIP_LEN = 120
+
+
 def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.snippet import snippets_for_mset
+    """Snippet WINDOW SELECTION for the top-5 of OR(hash, join): per doc,
+    the (anchor char offset, Σ relevance) of the best ``_SNIP_LEN``-char
+    window — the oracle-checkable core of MSet::snippet
+    (termgenerator_internal.cc SnipPipe; string rendering is pytest-pinned
+    via make_snippet on the SAME selection)."""
+    from .functions.snippet import snippet_windows_for_mset
 
     m = get_matcher(spark, sf_dir)
     top = _topk(m, Q.Or([Q.Term("hash"), Q.Term("join")]), 5).select("doc_id")
     docs = _documents(spark, sf_dir).selectExpr("doc_id", "text as content")
-    return snippets_for_mset(
-        spark, top, docs, ["hash", "join"], length=120, mode="simple"
-    ).select("doc_id", "snippet")
+    return snippet_windows_for_mset(
+        spark, top, docs, ["hash", "join"], length=_SNIP_LEN, mode="simple"
+    )
 
 
-# presentation feature — no SQL analog (rows-only check)
-_register("snippets_topk", _q_snippets, None)
+_register(
+    "snippets_topk",
+    _q_snippets,
+    _bm25_sql(["hash", "join"], "")
+    + f"""
+, top5 AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, round(sum(s), {ROUND}) AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 5))
+, tokpos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p
+  FROM arr WHERE doc_id IN (SELECT doc_id FROM top5))
+, offs AS (
+  -- char offset of token p in the single-space-joined text
+  SELECT doc_id, term, p,
+         coalesce(sum(length(term) + 1) OVER (
+           PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s
+  FROM tokpos)
+, spans AS (
+  SELECT doc_id, p, s, s + length(term) AS e
+  FROM offs WHERE term IN ('hash', 'join'))
+, wins AS (
+  -- two-pointer sweep as a self-join: window ending at span a holds every
+  -- span b ≤ a with e_b ≥ e_a − len + 1; total = Σ rel (rel ≡ 1), anchor =
+  -- first such span's char start
+  SELECT a.doc_id, a.p, count(*)::DOUBLE AS total, min(b.s)::BIGINT AS anchor
+  FROM spans a JOIN spans b
+    ON a.doc_id = b.doc_id AND b.p <= a.p AND b.e >= a.e - {_SNIP_LEN} + 1
+  GROUP BY a.doc_id, a.p, a.e)
+SELECT doc_id, anchor, total FROM (
+  SELECT doc_id, anchor, total,
+         row_number() OVER (PARTITION BY doc_id ORDER BY total DESC, p ASC) AS rn
+  FROM wins)
+WHERE rn = 1""",
+)
 
 
 def _q_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

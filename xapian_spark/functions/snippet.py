@@ -26,6 +26,53 @@ import pandas as pd  # module-level: pandas_udf type hints must resolve
 from ..functions.tokenizer import simple_tokenize, xapian_tokenize
 
 
+def term_spans(
+    text: str, terms: dict[str, float], tok
+) -> list[tuple[int, int, float]]:
+    """Char spans (start, end, relevance) of words whose tokenization hits a
+    query term — the SnipPipe relevance stream over the raw text."""
+    spans: list[tuple[int, int, float]] = []
+    for m in re.finditer(r"\S+", text):
+        for t in tok(m.group()):
+            rel = terms.get(t)
+            if rel is not None:
+                spans.append((m.start(), m.end(), rel))
+                break
+    return spans
+
+
+def select_window(
+    text: str,
+    terms: dict[str, float] | list[str],
+    length: int = 200,
+    mode: str = "xapian",
+) -> tuple[float, int] | None:
+    """The snippet's window SELECTION step, isolated so it has a
+    deterministic oracle (the driver's snippets entry checks exactly this):
+    two-pointer sweep maximizing Σ relevance of term spans inside a
+    ``length``-char window.  Returns (best_total, anchor_char) — anchor is
+    the char offset of the first span in the winning window; ties keep the
+    earliest window.  None when no term occurs."""
+    if not isinstance(terms, dict):
+        terms = {t: 1.0 for t in terms}
+    tok = xapian_tokenize if mode == "xapian" else simple_tokenize
+    spans = term_spans(text, terms, tok)
+    if not spans:
+        return None
+    best = (0.0, spans[0][0])
+    total = 0.0
+    start_idx = 0
+    for i, (s, e, rel) in enumerate(spans):
+        total += rel
+        while spans[start_idx][1] < e - length + 1:
+            total -= spans[start_idx][2]
+            start_idx += 1
+        anchor = spans[start_idx][0]
+        if total > best[0]:
+            best = (total, anchor)
+    return best
+
+
 def make_snippet(
     text: str,
     terms: dict[str, float] | list[str],
@@ -42,35 +89,12 @@ def make_snippet(
         return ""
     tok = xapian_tokenize if mode == "xapian" else simple_tokenize
 
-    # locate term occurrences as (char_start, char_end, relevance)
-    spans: list[tuple[int, int, float]] = []
-    # walk the text with a simple word scanner; tokenize each candidate word
-    for m in re.finditer(r"\S+", text):
-        for t in tok(m.group()):
-            rel = terms.get(t)
-            if rel is not None:
-                spans.append((m.start(), m.end(), rel))
-                break
-
-    if not spans:
+    best = select_window(text, terms, length=length, mode=mode)
+    if best is None:
         # no matches: lead of the document
         if len(text) <= length:
             return text
         return text[:length].rsplit(" ", 1)[0] + omit
-
-    # best window of `length` chars: two-pointer sweep over spans
-    best = (0.0, spans[0][0])
-    i = 0
-    total = 0.0
-    start_idx = 0
-    for i, (s, e, rel) in enumerate(spans):
-        total += rel
-        while spans[start_idx][1] < e - length + 1:
-            total -= spans[start_idx][2]
-            start_idx += 1
-        anchor = spans[start_idx][0]
-        if total > best[0]:
-            best = (total, anchor)
 
     wstart = max(0, best[1] - 10)
     wend = min(len(text), wstart + length)
@@ -127,3 +151,43 @@ def snippets_for_mset(
         docs_with_text.select("doc_id", text_col), "doc_id", "left"
     )
     return joined.withColumn("snippet", snip(F.col(text_col))).drop(text_col)
+
+
+def snippet_windows_for_mset(
+    spark,
+    mset_df,
+    docs_with_text,
+    terms: dict[str, float] | list[str],
+    text_col: str = "content",
+    length: int = 200,
+    mode: str = "xapian",
+):
+    """Window-selection output for a (small) top-k MSet: DF(doc_id,
+    anchor, total) — the oracle-checkable core of the snippet pipeline
+    (rendering stays in make_snippet / pytest)."""
+    import pandas as pd_  # noqa: F401 (kept local like snippets_for_mset)
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    tdict = terms if isinstance(terms, dict) else {t: 1.0 for t in terms}
+
+    @pandas_udf("anchor long, total double")
+    def win(texts: pd.Series) -> pd.DataFrame:
+        anchors, totals = [], []
+        for t in texts:
+            got = (
+                select_window(t, tdict, length=length, mode=mode)
+                if isinstance(t, str)
+                else None
+            )
+            anchors.append(-1 if got is None else got[1])
+            totals.append(0.0 if got is None else got[0])
+        return pd.DataFrame({"anchor": anchors, "total": totals})
+
+    joined = mset_df.join(
+        docs_with_text.select("doc_id", text_col), "doc_id", "left"
+    )
+    w = win(F.col(text_col))
+    return joined.select(
+        "doc_id", w["anchor"].alias("anchor"), w["total"].alias("total")
+    )
