@@ -97,3 +97,50 @@ def test_knn_join_rank_is_dense_topk(emb, ann):
     for qid, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 3
+
+
+def _py_all_pair_cosines(emb):
+    """Driver-side reference: left-fold double arithmetic like the engine."""
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    import math
+
+    out = {}
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            va, vb = vecs[a], vecs[b]
+            out[(a, b)] = round(
+                dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb))), 4
+            )
+    return out
+
+
+def test_cosine_pairs_topk_exact(emb):
+    from xapian_spark.operators.similarity import cosine_pairs_topk
+
+    truth = _py_all_pair_cosines(emb)
+    expect = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = [
+        ((r["a"], r["b"]), r["cos"]) for r in cosine_pairs_topk(emb, k=15).collect()
+    ]
+    assert got == expect
+
+
+def test_embedding_near_dups_recall_and_precision(emb, ann):
+    from xapian_spark.operators.similarity import embedding_near_dups
+
+    tau = 0.9
+    truth = {p for p, c in _py_all_pair_cosines(emb).items() if c >= tau}
+    assert truth, "clustered fixture must contain near-dup pairs"
+    got = {(r["a"], r["b"]) for r in embedding_near_dups(ann, tau).collect()}
+    # exact-cosine verification of candidates → no false positives
+    assert got <= truth
+    # banded LSH recall on clustered data
+    assert len(got & truth) / len(truth) >= 0.8

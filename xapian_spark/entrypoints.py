@@ -892,6 +892,47 @@ FROM per""",
 )
 
 
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import language_id
+
+    return language_id(_documents(spark, sf_dir), round_digits=ROUND)
+
+
+def _lang_id_sql() -> str:
+    from .operators.textstats import LANG_MARKERS
+
+    sums = []
+    for lg, words in LANG_MARKERS.items():
+        inlist = ", ".join(f"'{w}'" for w in words)
+        sums.append(
+            f"sum(CASE WHEN term IN ({inlist}) THEN wdf ELSE 0 END)::BIGINT AS c_{lg}"
+        )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
+    pred = "CASE WHEN best = 0 THEN 'und' " + " ".join(
+        f"WHEN c_{lg} = best THEN '{lg}'" for lg in langs
+    ) + " END"
+    return (
+        _PRELUDE
+        + f"""
+, lc AS (
+  SELECT doc_id, {", ".join(sums)}, sum(wdf)::BIGINT AS n_tokens
+  FROM post GROUP BY doc_id
+), sc AS (
+  SELECT doc_id, n_tokens, {best} AS best, {", ".join("c_" + lg for lg in langs)}
+  FROM lc
+)
+SELECT doc_id,
+       {pred} AS lang_pred,
+       CASE WHEN n_tokens > 0 THEN round(best::DOUBLE / n_tokens::DOUBLE, {ROUND})
+            ELSE 0.0 END AS marker_ratio
+FROM sc"""
+    )
+
+
+_register("lang_id", _q_lang_id, _lang_id_sql())
+
+
 # ---- Similarity search -----------------------------------------------------
 
 def _qvec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -925,6 +966,27 @@ SELECT vec_id,
        round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos
 FROM pairs GROUP BY vec_id
 ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+)
+
+
+def _q_embed_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_pairs_topk
+
+    return cosine_pairs_topk(_embeddings(spark, sf_dir), k=15, round_digits=4)
+
+
+_register(
+    "embed_nn_pairs_topk",
+    _q_embed_nn_pairs,
+    """
+WITH pr AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT a, b, round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos
+FROM pr GROUP BY a, b
+ORDER BY cos DESC, a ASC, b ASC LIMIT 15"""
 )
 
 

@@ -31,6 +31,7 @@ Scale design (the part that must survive 10^12 docs):
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Iterator
 from dataclasses import dataclass, field
 
@@ -642,8 +643,9 @@ def build_index(
     # shuffle to a handful of tasks and serialize the kernel).  The hash
     # partitioner guarantees each (term, span_no) group lands whole in one
     # partition, which is what lets _pack_partition group locally.
+    pack_factor = int(os.environ.get("SPARK_GRAFT_PACK_FACTOR", "2"))
     n_pack = max(
-        spark.sparkContext.defaultParallelism * 2,
+        spark.sparkContext.defaultParallelism * pack_factor,
         int(n_postings // 2_000_000) + 1,
     )
     grouped = grouped.repartition(n_pack, "term", "span_no")

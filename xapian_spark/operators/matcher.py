@@ -1088,20 +1088,30 @@ def _make_window_check(slot_of: list[int], window: int, is_phrase: bool):
             cand = [[int(p) for p in arr if lo <= p <= hi] for arr in lists]
             if any(not c for c in cand):
                 continue
-            # distinct assignment exists? (small sets — backtracking)
+            # distinct assignment exists?  This is bipartite perfect
+            # matching (slots vs positions); augmenting-path search is
+            # exact like the reference's sweep (nearpostlist.cc:75-158)
+            # but polynomial — O(slots^2 * window) — so a pathological
+            # NEAR of many repeated hot terms in a huge window can't
+            # blow up the executor.
             if _distinct_assignment(cand):
                 return True
         return False
 
-    def _distinct_assignment(cand: list[list[int]], used: frozenset = frozenset()):
-        if not cand:
-            return True
-        head, rest = cand[0], cand[1:]
-        for p in head:
-            if p not in used:
-                if _distinct_assignment(rest, used | {p}):
+    def _distinct_assignment(cand: list[list[int]]) -> bool:
+        match: dict[int, int] = {}  # position -> slot
+
+        def _augment(slot: int, seen: set[int]) -> bool:
+            for p in cand[slot]:
+                if p in seen:
+                    continue
+                seen.add(p)
+                if p not in match or _augment(match[p], seen):
+                    match[p] = slot
                     return True
-        return False
+            return False
+
+        return all(_augment(s, set()) for s in range(len(cand)))
 
     @pandas_udf(BooleanType())
     def _check(plists_col: pd.Series) -> pd.Series:

@@ -226,6 +226,77 @@ class AnnLshIndex:
         self.vectors.unpersist()
 
 
+def cosine_pairs_topk(
+    emb: DataFrame,
+    k: int = 15,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k most-similar pairs (a, b, cos) with a < b — the
+    embedding-cosine near-duplicate miner, brute-force baseline.
+
+    All-pairs is O(n²) by definition; this form is the small-n / verifier
+    path (the join is a broadcast nested-loop on the smaller side).  At
+    corpus scale use ``embedding_near_dups`` — LSH band buckets generate
+    the candidate pairs so only bucket-cohabiting rows are ever compared.
+    """
+    a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    va, vb = F.col("_va"), F.col("_vb")
+    cos = _dot(va, vb) / (F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb)))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cos, round_digits).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("a"), F.asc("b"))
+        .limit(k)
+    )
+
+
+def embedding_near_dups(
+    index: AnnLshIndex,
+    threshold: float,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs (a, b, cos) with cos ≥ threshold, a < b — the
+    scale path: candidate pairs are rows sharing ≥1 LSH band bucket (an
+    equi-join on (band, bucket_key), shuffle-partitioned by bucket), then
+    exact-cosine verified.  Approximate: recall < 1 by construction — a
+    true near-dup pair hashing into disjoint buckets in every band is
+    missed (probability shrinks with bands; pytest pins recall vs the
+    brute-force miner).  Never materializes a cross join.
+    """
+    idc = index.id_col
+    x = index.buckets.select(
+        F.col(idc).alias("a"), "band", "bucket_key"
+    )
+    y = index.buckets.select(
+        F.col(idc).alias("b"), "band", "bucket_key"
+    )
+    pairs = (
+        x.join(y, ["band", "bucket_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = index.vectors.select(
+        F.col(idc).alias("a"),
+        F.col(index.vec_col).alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    vb = index.vectors.select(
+        F.col(idc).alias("b"),
+        F.col(index.vec_col).alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    j = pairs.join(va, "a").join(vb, "b")
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        j.select("a", "b", F.round(cos, round_digits).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def lsh_bucketed_topk(
     emb: DataFrame,
     qvec: list[float],

@@ -14,6 +14,50 @@ from .dedup import tokens_col
 # tiny function-word list used as the quality / language-hint signal
 STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
 
+# Function-word profiles for the n-gram/marker language-ID heuristic.
+# Ordered: ties resolve to the earlier language (deterministic argmax).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "to", "in", "is", "that", "it", "was", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "ich", "zu"),
+    "es": ("el", "los", "las", "que", "y", "un", "una", "por", "como", "para"),
+    "fr": ("le", "les", "des", "et", "est", "une", "dans", "pour", "qui", "au"),
+    "zh": ("的", "是", "不", "我", "了", "在", "有", "他", "这", "们"),
+}
+
+
+def language_id(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Marker-word language identification: (doc_id, lang_pred, marker_ratio).
+
+    Per document, count tokens (with multiplicity) hitting each language's
+    function-word profile; predict the argmax language, ties broken by
+    LANG_MARKERS order, zero hits everywhere → 'und'.  marker_ratio is the
+    winning count over the token count.  Pure Column expressions — one scan,
+    no shuffle, no Python; at 100 TB this is a single narrow projection.
+    """
+    toks = tokens_col(text_col)
+    langs = list(LANG_MARKERS)
+    counts = {}
+    for lang, words in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        counts[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    best = F.greatest(*[counts[lg] for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier language wins ties
+        pred = F.when(counts[lg] == best, F.lit(lg)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    n_tok = F.size(toks)
+    ratio = F.when(n_tok > 0, F.round(best.cast("double") / n_tok.cast("double"), round_digits)).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        pred.alias("lang_pred"),
+        ratio.alias("marker_ratio"),
+    )
+
 
 def text_quality(
     docs: DataFrame,
