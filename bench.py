@@ -180,9 +180,13 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_shingle_jaccard",
     "simhash_fingerprint",
+    "fingerprint_winnow",
     "text_quality",
+    "token_counts",
+    "lang_id",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "embed_nn_pairs_topk",
 ]
 
 
@@ -296,51 +300,102 @@ def _scaling(scale_docs: int) -> dict:
     """
     n_attempts = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
     max_attempts = int(
-        os.environ.get("SPARK_GRAFT_SCALING_MAX", str(n_attempts + 2))
+        os.environ.get("SPARK_GRAFT_SCALING_MAX", str(n_attempts + 3))
     )
     probe_min = float(os.environ.get("SPARK_GRAFT_PROBE_MIN", "0.9"))
     attempts = []
+
+    def _attempt_quality(a):
+        """(min bracket ratio, min bracket fixed-work time) — an attempt is
+        only as clean as its WORSE bracket probe; the before-probe alone
+        misses weather arriving mid-attempt (observed: probe 1.07 → attempt
+        efficiency 0.60 while the after-window was degraded)."""
+        r = min(
+            a["probe_before"]["host_per_core_ratio"],
+            a["probe_after"]["host_per_core_ratio"],
+        )
+        t = max(
+            a["probe_before"]["fixed_work_2procs_sec"],
+            a["probe_after"]["fixed_work_2procs_sec"],
+        )
+        return r, t
+
+    def _clean_set():
+        # absolute-time check is self-calibrating: the fastest probe seen
+        # this session is the quiet-box reference; a probe >20% over it
+        # means neighbor load even if the 2-vs-8 ratio happens to look fine
+        best = min(_attempt_quality(a)[1] for a in attempts)
+        out = []
+        for a in attempts:
+            r, t = _attempt_quality(a)
+            if r >= probe_min and t <= 1.2 * best:
+                out.append(a)
+        return out
+
     for _ in range(max_attempts):
-        probe = _host_probe()
+        pb = _host_probe()
         leg2 = _run_leg(2, scale_docs)
         leg8 = _run_leg(8, scale_docs)
+        pa = _host_probe()
         eff = (leg2["seconds"] / leg8["seconds"]) / 4.0
         attempts.append(
             {
-                "host_probe": probe,
+                "probe_before": pb,
+                "probe_after": pa,
                 "local[2]": leg2,
                 "local[8]": leg8,
                 "efficiency": round(eff, 3),
             }
         )
-        clean = [
-            a
-            for a in attempts
-            if a["host_probe"]["host_per_core_ratio"] >= probe_min
-        ]
-        if len(clean) >= n_attempts:
+        if len(_clean_set()) >= n_attempts:
             break
-    pool = clean if len(clean) >= n_attempts else attempts
-    pool = sorted(pool, key=lambda a: a["efficiency"])
-    med = pool[len(pool) // 2]
+    clean = _clean_set()
+
+    # Per-leg minima across ALL attempts: host interference on a pinned leg
+    # is additive and nonnegative, so min-over-repeats estimates each leg's
+    # intrinsic time; the minima ratio is the noise-robust fallback when
+    # the box never yields enough clean attempts for a median.
+    t2_min = min(a["local[2]"]["seconds"] for a in attempts)
+    t8_min = min(a["local[8]"]["seconds"] for a in attempts)
+    minima_eff = round((t2_min / t8_min) / 4.0, 3)
+
+    if len(clean) >= n_attempts:
+        pool = sorted(clean, key=lambda a: a["efficiency"])
+        med = pool[len(pool) // 2]
+        primary = med["efficiency"]
+        estimator = f"median of {len(pool)} bracket-clean paired attempts"
+    else:
+        pool = sorted(attempts, key=lambda a: a["efficiency"])
+        med = pool[len(pool) // 2]
+        primary = minima_eff
+        estimator = (
+            f"per-leg minima over {len(attempts)} attempts (only "
+            f"{len(clean)} bracket-clean; additive-noise-robust estimator)"
+        )
 
     scaling = {
         "protocol": (
-            f"median of {len(pool)} paired (probe,leg2,leg8) attempts, "
-            f"taskset-pinned; attempts with host probe < {probe_min} "
-            f"excluded when >= {n_attempts} clean ones exist"
+            "paired attempts (probe, leg2, leg8, probe), taskset-pinned; "
+            f"clean = both bracket probes >= {probe_min} per-core ratio and "
+            "within 1.2x the session-best probe time"
         ),
-        "host_probe": med["host_probe"],
+        "estimator": estimator,
+        "host_probe": med["probe_after"],
         "local[2]": med["local[2]"],
         "local[8]": med["local[8]"],
-        "efficiency_wallclock_2_to_8": med["efficiency"],
+        "efficiency_wallclock_2_to_8": primary,
+        "efficiency_median_attempt": med["efficiency"],
+        "efficiency_leg_minima": minima_eff,
+        "t2_min": t2_min,
+        "t8_min": t8_min,
         "attempts": [
             {
                 "efficiency": a["efficiency"],
-                "host_per_core_ratio": a["host_probe"]["host_per_core_ratio"],
+                "probe_ratio_before": a["probe_before"]["host_per_core_ratio"],
+                "probe_ratio_after": a["probe_after"]["host_per_core_ratio"],
                 "t2": a["local[2]"]["seconds"],
                 "t8": a["local[8]"]["seconds"],
-                "used": a in pool,
+                "clean": a in clean,
             }
             for a in attempts
         ],

@@ -42,3 +42,61 @@ def test_language_id_tie_breaks_to_marker_order(spark):
     # one en marker, one de marker → tie → earlier profile (en) wins
     df = spark.createDataFrame([(1, "the und")], "doc_id long, text string")
     assert language_id(df).collect()[0]["lang_pred"] == "en"
+
+
+def _py_winnow(text: str, k: int = 4, w: int = 4):
+    import hashlib
+
+    toks = [t for t in text.lower().split() if t]
+    grams = [
+        hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:8]
+        for i in range(len(toks) - k + 1)
+    ]
+    sel = {min(grams[j : j + w]) for j in range(len(grams) - w + 1)}
+    return sorted(sel)
+
+
+def test_winnow_fingerprints_match_reference(spark):
+    import hashlib
+
+    from xapian_spark.operators.dedup import winnow_fingerprints
+
+    rows = [
+        (1, "a b c d e f g h i j k l"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "x y z w"),          # exactly k tokens, fewer grams than w → dropped
+        (4, "one two three"),    # shorter than k → dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_fp"], r["fp_sig"]) for r in winnow_fingerprints(df).collect()}
+    for did, text in rows[:2]:
+        fps = _py_winnow(text)
+        sig = hashlib.md5(",".join(fps).encode()).hexdigest()
+        assert got[did] == (len(fps), sig), did
+    assert 3 not in got and 4 not in got
+
+
+def test_winnow_shared_run_shares_fingerprint(spark):
+    """Winnowing guarantee: documents sharing a run of ≥ w+k-1 tokens share
+    at least one selected fingerprint (Schleimer et al. 2003, theorem 1)."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = w+k
+    rows = [
+        (1, "p q r s t u v " + shared),
+        (2, shared + " m n o different tail entirely here"),
+    ]
+    a, b = (set(_py_winnow(t)) for _, t in rows)
+    assert a & b
+
+
+def test_token_counts_bpe_vs_ws(spark):
+    from xapian_spark.operators.textstats import token_counts
+
+    rows = [
+        (1, "don't stop believing"),       # ws 3; bpe: don ' t stop believing = 5
+        (2, "x=1+2;  y=3"),                # ws 2; bpe: x = 1 + 2 ; y = 3 = 9
+        (3, "hello world"),                # ws 2; bpe 2
+        (4, ""),                           # 0 / 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"]) for r in token_counts(df).collect()}
+    assert got == {1: (3, 5), 2: (2, 9), 3: (2, 2), 4: (0, 0)}

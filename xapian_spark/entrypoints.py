@@ -756,6 +756,50 @@ FROM fp GROUP BY fp HAVING count(*) > 1""",
 )
 
 
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_documents(spark, sf_dir), k=4, w=4)
+
+
+# k=4-token grams hashed to 8 md5 hex chars, w=4 window minima (winnowing,
+# Schleimer et al. 2003); lexicographic min on the hex strings both sides.
+_register(
+    "fingerprint_winnow",
+    _q_winnow,
+    _PRELUDE
+    + """
+, tokpos AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p0) AS p
+  FROM (SELECT doc_id, unnest(toks) AS term,
+               generate_subscripts(toks, 1) AS p0 FROM arr)
+  WHERE term <> ''
+), grams AS (
+  SELECT doc_id, p,
+         substr(md5(term || ' ' || lead(term, 1) OVER win || ' '
+                    || lead(term, 2) OVER win || ' '
+                    || lead(term, 3) OVER win), 1, 8) AS h,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM tokpos
+  WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+), gh AS (
+  SELECT doc_id, p, h, count(*) OVER (PARTITION BY doc_id) AS m
+  FROM grams WHERE p <= n - 3
+), sel AS (
+  SELECT doc_id, p, m,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sh
+  FROM gh
+), fps AS (
+  SELECT DISTINCT doc_id, sh FROM sel WHERE p <= m - 3
+)
+SELECT doc_id, count(*)::BIGINT AS n_fp,
+       md5(string_agg(sh, ',' ORDER BY sh)) AS fp_sig
+FROM fps GROUP BY doc_id""",
+)
+
+
 # Hot-key caps — the 100 TB safety valves (VERDICT r01 "What's wrong" #2):
 # shingles in more docs than this are dropped from the Jaccard universe;
 # LSH band buckets larger than this are dropped before the pair self-join.
@@ -889,6 +933,30 @@ SELECT doc_id, n_tokens, n_distinct,
        round(n_stop::DOUBLE / n_tokens::DOUBLE, {ROUND}) AS stop_ratio,
        round(total_chars::DOUBLE / n_tokens::DOUBLE, {ROUND}) AS avg_token_len
 FROM per""",
+)
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import token_counts
+
+    return token_counts(_documents(spark, sf_dir))
+
+
+_register(
+    "token_counts",
+    _q_token_counts,
+    _PRELUDE
+    + r"""
+, ws AS (SELECT doc_id, count(*)::BIGINT AS n_ws_tokens FROM tok GROUP BY doc_id)
+, bpe AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+'))::BIGINT
+           AS n_bpe_tokens
+  FROM documents
+)
+SELECT d.doc_id, coalesce(ws.n_ws_tokens, 0) AS n_ws_tokens, bpe.n_bpe_tokens
+FROM documents d LEFT JOIN ws ON ws.doc_id = d.doc_id
+JOIN bpe ON bpe.doc_id = d.doc_id""",
 )
 
 

@@ -62,6 +62,86 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", w:
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003 —
+    the MOSS rolling-hash scheme): hash every k-token gram, slide a
+    w-gram window, keep each window's minimum hash; the distinct selected
+    hashes are the fingerprint set, guaranteed to share members with any
+    document overlapping by ≥ w+k-1 tokens.
+
+    Returns (doc_id, n_fp, fp_sig): fingerprint count and an md5 signature
+    of the sorted fingerprint set.  Docs shorter than k+w-1 tokens (no full
+    window) are dropped.  The hash is the first 8 md5 hex chars so the same
+    fingerprints are computable by any engine (the DuckDB oracle mirrors it).
+
+    Kernel note: this is an Arrow-batched mapInPandas pass — the same
+    design point as the indexer's inversion kernel — NOT nested JVM array
+    expressions: interpreted higher-order functions re-evaluate the whole
+    gram-hash subexpression per window element (no common-subexpression
+    elimination), turning the per-doc cost quadratic; the Python kernel is
+    one linear pass with a vectorized sliding min.  Embarrassingly
+    parallel, no shuffle — scales like tokenization itself.
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    # ASCII whitespace class, matching Java regex \s (tokens_col) and the
+    # oracle's RE2 \s — python str.split() would also split U+00A0 etc.
+    ws = re.compile(r"[\t\n\x0b\f\r ]+")
+
+    def kernel(batches):
+        for pdf in batches:
+            out_id, out_n, out_sig = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split((text or "").lower()) if t]
+                n = len(toks)
+                if n < k + w - 1:
+                    continue
+                # first 8 md5 hex chars as uint32: fixed-width lowercase hex
+                # sorts identically to its numeric value, so the sliding min
+                # can run as a vectorized integer ufunc
+                hs = np.array(
+                    [
+                        int(
+                            hashlib.md5(
+                                " ".join(toks[i : i + k]).encode()
+                            ).hexdigest()[:8],
+                            16,
+                        )
+                        for i in range(n - k + 1)
+                    ],
+                    dtype=np.uint32,
+                )
+                m = len(hs)
+                mins = hs[: m - w + 1].copy()
+                for s in range(1, w):
+                    np.minimum(mins, hs[s : s + m - w + 1], out=mins)
+                fps = [format(v, "08x") for v in sorted(set(mins.tolist()))]
+                out_id.append(int(did))
+                out_n.append(len(fps))
+                out_sig.append(hashlib.md5(",".join(fps).encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_id, dtype="int64"),
+                    "n_fp": pd.Series(out_n, dtype="int64"),
+                    "fp_sig": pd.Series(out_sig, dtype=object),
+                }
+            )
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        kernel, "doc_id long, n_fp long, fp_sig string"
+    )
+
+
 def minhash_signatures(sh: DataFrame, n_hashes: int = 8) -> DataFrame:
     """(doc_id, h1..hN): per-seed min of md5('{seed}:'||shingle)."""
     aggs = [

@@ -59,6 +59,32 @@ def language_id(
     )
 
 
+# BPE-ish pretokenizer: letter runs / digit runs / non-space-punct runs.
+# The three branches have DISJOINT first characters, so leftmost-first
+# (Java regex) and leftmost-longest (RE2/POSIX) matching agree — the count
+# is engine-portable by construction.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]+"
+
+
+def token_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens): whitespace token count plus a
+    BPE-style pretokenizer count (letter/digit/punctuation runs — the unit
+    a byte-pair encoder would subdivide).  The ratio of the two is the
+    standard cheap proxy for tokenizer cost per document when budgeting an
+    LLM training corpus.  Pure Column expressions, one scan, no shuffle."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(text_col)).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
 def text_quality(
     docs: DataFrame,
     id_col: str = "doc_id",
