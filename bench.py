@@ -99,14 +99,13 @@ def _tree_cpu_sec() -> float:
 def build_only(cpus: int, n_docs: int, seed: int = 42, warmup_docs: int = 20000) -> dict:
     """Index-build throughput over the deterministic synthetic corpus.
 
-    An untimed warmup build (same pipeline, disjoint small corpus) runs
-    first: JIT/codegen compilation and python-worker spawn + imports are
-    per-executor CONSTANTS that a long-running cluster build amortizes to
-    nothing, but they swamp a sub-minute leg — measured on this box, 24 s
-    of a 48 s cold 2-core leg was warmup (warm rerun: 23.6 s), and the
-    warmup tax is also what dragged the r1/r2 cold-leg 2→8 efficiency to
-    0.69 while warm legs scale at 0.92.  Steady-state throughput is what
-    the north rule's N→4N criterion is about, so that is what we time.
+    An untimed warmup build (same pipeline, DISJOINT seed — identical
+    plans would be served from the Spark plan cache and fake the timing)
+    runs first: JIT/codegen compilation and python-worker spawn + imports
+    are per-executor constants that a long-running cluster build amortizes
+    to nothing.  Measured effect on a ≥40 s leg is small (a few percent);
+    it is kept because steady-state throughput is what the north rule's
+    N→4N criterion is about, and the cost is one 20k-doc build.
     """
     from xapian_spark.operators.indexer import build_index
     from xapian_spark.sources.catalog import save_index

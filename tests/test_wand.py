@@ -58,3 +58,28 @@ def test_wand_prunes_blocks(spark, matcher, index, oracle):
     )
     bounds = sorted(r["bound"] for r in meta.select("bound").collect())
     assert total > 1 and bounds[0] < bounds[-1]  # bounds discriminate blocks
+
+
+def test_impact_tiered_layout_prunes_and_stays_exact(spark, corpus):
+    """An index built with impact_tiers > 1 must (a) return the same top-k
+    as the exhaustive path and (b) actually prune blocks on a hot single
+    term — on the docid-ordered layout every block contains a high-impact
+    posting and the measured prune rate is zero (see indexer docstring)."""
+    from xapian_spark.operators.indexer import build_index
+    from xapian_spark.operators.matcher import Matcher
+
+    ix = build_index(
+        spark, corpus, meta_cols=["lang"], impact_tiers=4, block_size=16
+    )
+    ix.postings = ix.postings.persist()
+    m = Matcher(spark, ix)
+    q = Q.Term("value")  # mid-Zipf: wdf spans the tier thresholds
+    exact = [(r["doc_id"], round(r["weight"], 9)) for r in m.mset_df(q, 3).collect()]
+    st = {}
+    pruned = [
+        (r["doc_id"], round(r["weight"], 9))
+        for r in m._wand([("value", 1)], 3, stats_out=st).collect()
+    ]
+    assert exact == pruned
+    assert st["blocks_pruned"] > 0, st
+    ix.postings.unpersist()

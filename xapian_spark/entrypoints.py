@@ -58,6 +58,10 @@ def get_matcher(spark: SparkSession, sf_dir: str) -> Matcher:
             # boolean filter terms (wdf 0, outside all BM25 stats) backing
             # the query parser's boolean prefixes: lang:en → XLen
             boolean_fields={"lang": "XL", "source": "XSOURCE"},
+            # impact-layered posting blocks: decaying block-max bounds so
+            # the WAND entries exercise real pruning (indexer docstring);
+            # results are layout-invariant (oracle parity unchanged)
+            impact_tiers=4,
         )
         # coalesce before persist: at these sf sizes the tables are a few
         # thousand rows — fewer cached partitions = fewer tasks per query

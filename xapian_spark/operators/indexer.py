@@ -56,6 +56,7 @@ from ..functions.tokenizer import simple_tokenize, xapian_tokenize
 DEFAULT_BLOCK_SIZE = 4096  # postings per block (≈ glass chunk granularity)
 MAX_SPAN = 1 << 22  # docid span cap per group → bounds executor group memory
 _SUBBLOCK_SHIFT = 32  # block_no = span_no << 32 | idx
+TIER_SHIFT = 60  # impact tier lives at span_no bit 28 → block_no bit 60
 
 # Positions travel PRE-ENCODED (delta+VByte per posting) from the inversion
 # pass: VByte streams concatenate losslessly, so the block-pack stage only
@@ -517,6 +518,7 @@ def build_index(
     boolean_fields: dict[str, str] | None = None,
     ngrams: bool = False,
     stem_col: str | None = None,
+    impact_tiers: int = 1,
 ) -> IndexTables:
     """Build docs/dictionary/postings/stats from a corpus DataFrame.
 
@@ -526,6 +528,17 @@ def build_index(
     terms per doc — see invert_corpus.
     ``stem_col`` selects the stemmer per document from a language column
     (multilingual corpora) — see invert_corpus.
+    ``impact_tiers`` > 1 additionally splits each term's posting groups by
+    a wdf-impact tier (tier t holds wdf ≥ 2^(tiers-1-t), descending) —
+    impact-layered posting blocks after Anh & Moffat's impact-ordered
+    indexes.  On a docid-ordered layout with positionally-uncorrelated
+    scores every block contains one high-impact posting, so block-max
+    bounds never drop below θ and WAND prunes NOTHING (measured: 0 of 313
+    hot-term blocks at 1.28M docs); tiering restores decaying bounds so
+    low-impact tiers are excluded from parquet IO by metadata alone.
+    Every query path is layout-agnostic (blocks stay docid-sorted within
+    a group; ranges/decodes unchanged) — only pruning effectiveness
+    changes.
     """
     flat = flat_postings
     if flat is None:
@@ -632,9 +645,22 @@ def build_index(
     # splitting handles the hot terms.
     if vocab <= 5_000_000:
         dict_spans = F.broadcast(dict_spans)
+    span_no = (F.col("doc_id") / F.col("span")).cast("long")
+    if impact_tiers > 1:
+        # tier 0 = wdf ≥ 2^(T-1) … tier T-1 = the wdf-1 tail; encoded in
+        # span_no's high bits (span_no < 2^28 at 10^12 docs, block_no has
+        # 62-bit headroom) so the pack kernel and block_no stay untouched
+        tier = F.lit(impact_tiers - 1)
+        # build innermost-first so the HIGHEST threshold is checked first
+        # (each when() wraps the previous expression as its otherwise)
+        for t in reversed(range(impact_tiers - 1)):
+            tier = F.when(
+                F.col("wdf") >= F.lit(1 << (impact_tiers - 1 - t)), F.lit(t)
+            ).otherwise(tier)
+        span_no = (tier.cast("long") * F.lit(1 << 28)) + span_no
     grouped = (
         flat.join(dict_spans, "term")
-        .withColumn("span_no", (F.col("doc_id") / F.col("span")).cast("long"))
+        .withColumn("span_no", span_no)
         .select("term", "span_no", "doc_id", "wdf", "n_pos", "doc_len", "pos_enc")
     )
     # Explicit hash repartition on the group key: the pack stage is
@@ -663,5 +689,6 @@ def build_index(
             "with_positions": with_positions,
             "block_size": block_size,
             "boolean_fields": dict(boolean_fields or {}),
+            "impact_tiers": impact_tiers,
         },
     )

@@ -413,7 +413,12 @@ class Matcher:
                 return terms
         return None
 
-    def _wand(self, leaf_terms: list[tuple[str, int]], k: int) -> DataFrame:
+    def _wand(
+        self,
+        leaf_terms: list[tuple[str, int]],
+        k: int,
+        stats_out: dict | None = None,
+    ) -> DataFrame:
         from .wand import wand_topk
 
         stats = self._term_stats([t for t, _ in leaf_terms])
@@ -432,6 +437,7 @@ class Matcher:
             self.index.stats["doclen_lower_bound"],
             k,
             self.scheme.params,
+            stats_out=stats_out,
         )
 
     def matches(self, q: Q.Query) -> DataFrame:

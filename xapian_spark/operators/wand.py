@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.weights import BM25Params, BM25Term
+from .indexer import TIER_SHIFT
 from .matcher import decode_blocks
 
 
@@ -64,11 +65,16 @@ def wand_topk(
     k: int,
     params: BM25Params,
     probe_blocks_per_term: int = 4,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Exact top-k (doc_id, weight) for OR over ``term_weights`` keys.
 
     ``postings``: the full blocks table (will be filtered on term — parquet
     predicate pushdown + metadata-only column pruning for the bound pass).
+    ``stats_out``: pass a dict to receive pruning telemetry
+    (blocks_total / blocks_pruned / candidates) — the scale evidence is the
+    pruned fraction, since at 10^12-doc block counts skipped blocks are
+    skipped parquet IO.
     """
     terms = sorted(term_weights)
     if not terms:
@@ -129,12 +135,38 @@ def wand_topk(
     eps = 1e-9 * (1.0 + abs(total_gmax))
 
     # ---- Phase 2: prune blocks that cannot beat θ ----
+    blocks_total = meta.count()  # tiny persisted metadata table
     if math.isfinite(theta):
-        surviving_keys = meta.filter(
-            F.col("bound") + F.col("rest") >= F.lit(theta - eps)
-        ).select("term", "block_no")
+        # Rule A (per-block): bound(b) + Σ_{t'≠t} gmax_{t'} < θ.  Useless
+        # for OR queries whose other term is hot (rest alone ≈ θ).
+        survive = F.col("bound") + F.col("rest") >= F.lit(theta - eps)
+        # Rule B (tier combination): pick per-term impact-tier cutoffs whose
+        # sup-bounds SUM below θ.  A doc living only in pruned tiers scores
+        # ≤ Σ_t sup_t < θ; a doc seen in any surviving block is exactly
+        # rescored against pruned blocks by phase 3.  Unioning with rule A
+        # stays sound: an entirely-unseen doc with ANY rule-A-pruned block
+        # is below θ by rule A's own bound, else all its blocks are
+        # rule-B-pruned and the sum bound applies.
+        tier_cut = _tier_cutoffs(meta, theta - eps)
+        if tier_cut:
+            t_expr = F.lit(False)
+            for t, tier in tier_cut:
+                t_expr = t_expr | (
+                    (F.col("term") == t)
+                    & (F.shiftright(F.col("block_no"), TIER_SHIFT) == tier)
+                )
+            survive = survive & ~t_expr
+        surviving_keys = meta.filter(survive).select("term", "block_no")
+        pruned_keys_all = meta.filter(~survive)
+        blocks_pruned = blocks_total - surviving_keys.count()
     else:
         surviving_keys = meta.select("term", "block_no")
+        pruned_keys_all = None
+        blocks_pruned = 0
+    if stats_out is not None:
+        stats_out["blocks_total"] = blocks_total
+        stats_out["blocks_pruned"] = blocks_pruned
+        stats_out["theta"] = theta
     surv_blocks = postings.join(
         F.broadcast(surviving_keys), ["term", "block_no"], "left_semi"
     )
@@ -147,30 +179,37 @@ def wand_topk(
         )
     ).persist()
 
-    # θ' = k-th best partial (tighter than θ)
-    kth2 = partials.orderBy(F.desc("partial")).limit(k).collect()
-    theta2 = float(kth2[-1]["partial"]) if len(kth2) >= k else float("-inf")
-
-    # candidates possibly in top-k: partial + missing-terms bound ≥ θ'
-    # (missing bound clamped at 0: a doc seen in every term has nothing to
-    # gain, even if the two float sums disagree by an ulp)
-    cand = partials.filter(
-        F.col("partial")
-        + F.greatest(F.lit(total_gmax) - F.col("seen_gmax"), F.lit(0.0))
-        >= F.lit(theta2 - eps)
-    ).persist()
-
     # ---- Phase 3: exact rescore of candidates against PRUNED blocks whose
     # docid range covers them.  The candidate set stays a DataFrame end to
     # end (no driver round-trip / no literal id list — the filter can pass
     # many docs when bounds are loose): a broadcast range-join marks the
     # pruned blocks any candidate falls into, and a broadcast semi-join
     # restricts the decoded extra scores to candidates.
-    if math.isfinite(theta):
+    #
+    # Skipped entirely when it cannot change anything: with a single term
+    # every doc lives in exactly one (term, span) block, so a surviving
+    # doc's partial IS its total; and with zero pruned blocks there is
+    # nothing to rescore against — in both cases partials ARE totals and
+    # the θ'/candidate machinery (one collect + three joins) would only
+    # add jobs.
+    cand = None
+    if math.isfinite(theta) and len(terms) > 1 and blocks_pruned > 0:
+        # θ' = k-th best partial (tighter than θ)
+        kth2 = partials.orderBy(F.desc("partial")).limit(k).collect()
+        theta2 = float(kth2[-1]["partial"]) if len(kth2) >= k else float("-inf")
+
+        # candidates possibly in top-k: partial + missing-terms bound ≥ θ'
+        # (missing bound clamped at 0: a doc seen in every term has nothing
+        # to gain, even if the two float sums disagree by an ulp)
+        cand = partials.filter(
+            F.col("partial")
+            + F.greatest(F.lit(total_gmax) - F.col("seen_gmax"), F.lit(0.0))
+            >= F.lit(theta2 - eps)
+        ).persist()
         cand_ids_df = cand.select("doc_id")
-        pruned_keys = meta.filter(
-            F.col("bound") + F.col("rest") < F.lit(theta - eps)
-        ).select("term", "block_no", "first_docid", "last_docid")
+        pruned_keys = pruned_keys_all.select(
+            "term", "block_no", "first_docid", "last_docid"
+        )
         touching = (
             pruned_keys.join(
                 F.broadcast(cand_ids_df),
@@ -194,7 +233,7 @@ def wand_topk(
             )
         )
     else:
-        exact = cand.select("doc_id", F.col("partial").alias("weight"))
+        exact = partials.select("doc_id", F.col("partial").alias("weight"))
 
     # Materialize the k result rows (tiny) so every intermediate cache can
     # be released NOW — returning a lazy plan over `partials`/`cand` would
@@ -205,11 +244,83 @@ def wand_topk(
     )
     meta.unpersist()
     partials.unpersist()
-    cand.unpersist()
+    if cand is not None:
+        cand.unpersist()
     return spark.createDataFrame(
         [(r["doc_id"], float(r["weight"])) for r in rows],
         "doc_id long, weight double",
     )
+
+
+def _tier_cutoffs(meta: DataFrame, theta_eps: float) -> list[tuple[str, int]]:
+    """Choose the (term, tier) set to prune under rule B.
+
+    Per term, the candidate cutoffs are suffixes of its impact tiers
+    ordered by sup-bound descending, always keeping the top-bound tier
+    (so every term's high-impact postings are seen and phase-3 candidate
+    bounds stay tight).  Enumerate the per-term combinations (driver-side;
+    the tier table is ≤ terms × tiers rows) and keep the one pruning the
+    most blocks subject to  Σ_t sup(pruned tiers of t) < θ − eps.
+    Single-tier indexes (impact_tiers=1) yield no options → empty result.
+    """
+    import itertools
+
+    rows = (
+        meta.groupBy(
+            "term", F.shiftright(F.col("block_no"), TIER_SHIFT).alias("tier")
+        )
+        .agg(F.max("bound").alias("supb"), F.count("*").alias("cnt"))
+        .collect()
+    )
+    per_term: dict[str, list] = {}
+    for r in rows:
+        per_term.setdefault(r["term"], []).append(
+            (int(r["tier"]), float(r["supb"]), int(r["cnt"]))
+        )
+    opts = {}
+    for t, lst in per_term.items():
+        lst.sort(key=lambda x: -x[1])  # sup-bound descending
+        o = [((), 0.0, 0)]  # prune nothing
+        for j in range(1, len(lst)):
+            pruned = lst[j:]
+            o.append(
+                (
+                    tuple(p[0] for p in pruned),
+                    max(p[1] for p in pruned),
+                    sum(p[2] for p in pruned),
+                )
+            )
+        opts[t] = o
+    terms_l = list(opts)
+    n_combos = 1
+    for t in terms_l:
+        n_combos *= len(opts[t])
+    best_gain, best_combo = 0, None
+    if n_combos <= 50_000:
+        combos = itertools.product(*(opts[t] for t in terms_l))
+    else:
+        # greedy fallback for very wide ORs: consider one term's suffixes
+        # at a time, others unpruned
+        combos = (
+            tuple(
+                opt if i == j else opts[terms_l[i]][0]
+                for i in range(len(terms_l))
+            )
+            for j in range(len(terms_l))
+            for opt in opts[terms_l[j]][1:]
+        )
+    for combo in combos:
+        s = sum(c[1] for c in combo if c[0])
+        if s < theta_eps:
+            gain = sum(c[2] for c in combo)
+            if gain > best_gain:
+                best_gain, best_combo = gain, combo
+    if not best_combo:
+        return []
+    out = []
+    for t, c in zip(terms_l, best_combo):
+        out.extend((t, tier) for tier in c[0])
+    return out
 
 
 def _score_decoded(blocks: DataFrame, consts: DataFrame, params: BM25Params) -> DataFrame:
