@@ -271,7 +271,12 @@ def _run_leg(cpus: int, scale_docs: int) -> dict:
         str(scale_docs),
     ]
     if shutil.which("taskset"):
-        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        # pin to the TOP of the core range: core 0 (and neighbors) service
+        # IRQs and kernel housekeeping — measured 13-16% slower than high
+        # cores for the identical pinned leg — and both legs must see the
+        # same core quality for the ratio to mean anything
+        nc = os.cpu_count() or 32
+        cmd = ["taskset", "-c", f"{nc - cpus}-{nc - 1}"] + cmd
     r = subprocess.run(
         cmd,
         capture_output=True,
@@ -417,6 +422,7 @@ def _host_probe() -> dict:
     own (see BENCH/BASELINE.md)."""
     code = "s=0\nfor i in range(20_000_000): s+=i*i\n"
     out = {}
+    nc = os.cpu_count() or 32
     for n in (2, 8):
         cmd_base = [sys.executable, "-c", code]
         t0 = time.perf_counter()
@@ -424,7 +430,9 @@ def _host_probe() -> dict:
         for i in range(n):
             cmd = cmd_base
             if shutil.which("taskset"):
-                cmd = ["taskset", "-c", str(i)] + cmd_base
+                # probe the same high cores the legs run on (core 0 and
+                # neighbors carry IRQ noise — see _run_leg)
+                cmd = ["taskset", "-c", str(nc - 1 - i)] + cmd_base
             procs.append(subprocess.Popen(cmd))
         for p in procs:
             p.wait()
