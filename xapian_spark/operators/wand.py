@@ -135,7 +135,6 @@ def wand_topk(
     eps = 1e-9 * (1.0 + abs(total_gmax))
 
     # ---- Phase 2: prune blocks that cannot beat θ ----
-    blocks_total = meta.count()  # tiny persisted metadata table
     if math.isfinite(theta):
         # Rule A (per-block): bound(b) + Σ_{t'≠t} gmax_{t'} < θ.  Useless
         # for OR queries whose other term is hot (rest alone ≈ θ).
@@ -147,7 +146,12 @@ def wand_topk(
         # stays sound: an entirely-unseen doc with ANY rule-A-pruned block
         # is below θ by rule A's own bound, else all its blocks are
         # rule-B-pruned and the sum bound applies.
-        tier_cut = _tier_cutoffs(meta, theta - eps)
+        # ONE aggregation job serves everything driver-side: tier cutoffs,
+        # total/pruned block counts (meta itself is never collected — the
+        # per-(term, tier) aggregate is ≤ terms × tiers rows at any scale).
+        tier_cut, blocks_total, blocks_pruned = _tier_cutoffs(
+            meta, survive, theta - eps
+        )
         if tier_cut:
             t_expr = F.lit(False)
             for t, tier in tier_cut:
@@ -158,10 +162,10 @@ def wand_topk(
             survive = survive & ~t_expr
         surviving_keys = meta.filter(survive).select("term", "block_no")
         pruned_keys_all = meta.filter(~survive)
-        blocks_pruned = blocks_total - surviving_keys.count()
     else:
         surviving_keys = meta.select("term", "block_no")
         pruned_keys_all = None
+        blocks_total = None  # not measured on the no-θ path (no extra job)
         blocks_pruned = 0
     if stats_out is not None:
         stats_out["blocks_total"] = blocks_total
@@ -252,8 +256,12 @@ def wand_topk(
     )
 
 
-def _tier_cutoffs(meta: DataFrame, theta_eps: float) -> list[tuple[str, int]]:
-    """Choose the (term, tier) set to prune under rule B.
+def _tier_cutoffs(
+    meta: DataFrame, survive_a, theta_eps: float
+) -> tuple[list[tuple[str, int]], int, int]:
+    """Choose the (term, tier) set to prune under rule B; also return
+    (blocks_total, blocks_pruned-after-both-rules) from the same single
+    aggregation job.
 
     Per term, the candidate cutoffs are suffixes of its impact tiers
     ordered by sup-bound descending, always keeping the top-bound tier
@@ -269,14 +277,21 @@ def _tier_cutoffs(meta: DataFrame, theta_eps: float) -> list[tuple[str, int]]:
         meta.groupBy(
             "term", F.shiftright(F.col("block_no"), TIER_SHIFT).alias("tier")
         )
-        .agg(F.max("bound").alias("supb"), F.count("*").alias("cnt"))
+        .agg(
+            F.max("bound").alias("supb"),
+            F.count("*").alias("cnt"),
+            F.sum(F.when(survive_a, 0).otherwise(1)).alias("a_pruned"),
+        )
         .collect()
     )
+    blocks_total = sum(int(r["cnt"]) for r in rows)
     per_term: dict[str, list] = {}
+    a_pruned_by_tier: dict[tuple[str, int], int] = {}
     for r in rows:
         per_term.setdefault(r["term"], []).append(
             (int(r["tier"]), float(r["supb"]), int(r["cnt"]))
         )
+        a_pruned_by_tier[(r["term"], int(r["tier"]))] = int(r["a_pruned"])
     opts = {}
     for t, lst in per_term.items():
         lst.sort(key=lambda x: -x[1])  # sup-bound descending
@@ -315,12 +330,23 @@ def _tier_cutoffs(meta: DataFrame, theta_eps: float) -> list[tuple[str, int]]:
             gain = sum(c[2] for c in combo)
             if gain > best_gain:
                 best_gain, best_combo = gain, combo
-    if not best_combo:
-        return []
     out = []
-    for t, c in zip(terms_l, best_combo):
-        out.extend((t, tier) for tier in c[0])
-    return out
+    if best_combo:
+        for t, c in zip(terms_l, best_combo):
+            out.extend((t, tier) for tier in c[0])
+    # blocks pruned by the UNION of the rules: whole tiers chosen by rule B
+    # count fully; surviving tiers contribute their rule-A-pruned blocks
+    b_tiers = set(out)
+    blocks_pruned = 0
+    for (t, tier), a_cnt in a_pruned_by_tier.items():
+        if (t, tier) in b_tiers:
+            for tt, supb, cnt in per_term[t]:
+                if tt == tier:
+                    blocks_pruned += cnt
+                    break
+        else:
+            blocks_pruned += a_cnt
+    return out, blocks_total, blocks_pruned
 
 
 def _score_decoded(blocks: DataFrame, consts: DataFrame, params: BM25Params) -> DataFrame:
