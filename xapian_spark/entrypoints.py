@@ -1081,8 +1081,49 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_index(spark, sf_dir).query(_qvec(spark, sf_dir), k=10, round_digits=4)
 
 
-# approximate by construction → no SQL oracle (driver records rows-only)
-_register("ann_lsh_topk", _q_ann_lsh, None)
+# Approximate by construction, but DETERMINISTIC (md5-derived hyperplanes)
+# — so the whole pipeline IS SQL-expressible: rebuild the planes from md5,
+# recompute every signature, probe the query's 4 band buckets, exact-cosine
+# re-rank the candidates.  Plane count / bands / dim mirror AnnLshIndex
+# defaults (16 planes, 4 bands, dim 64 in the test embeddings).
+_register(
+    "ann_lsh_topk",
+    _q_ann_lsh,
+    r"""
+WITH dims AS (SELECT unnest(range(64)) AS j),
+planes AS (
+  SELECT s.seed, d.j,
+         (('0x' || substr(md5(s.seed::VARCHAR || ':' || d.j::VARCHAR), 1, 8))::BIGINT
+            / 2147483647.0 - 1.0) AS val
+  FROM (SELECT unnest(range(1, 17)) AS seed) s, dims d
+),
+vex AS (
+  SELECT vec_id, d.j, embedding[d.j + 1]::DOUBLE AS x FROM embeddings, dims d
+),
+sig0 AS (
+  SELECT v.vec_id, p.seed, sum(v.x * p.val) AS dot
+  FROM vex v JOIN planes p ON p.j = v.j
+  GROUP BY v.vec_id, p.seed
+),
+sigs AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY seed) AS sig
+  FROM sig0 GROUP BY vec_id
+),
+bnd AS (
+  SELECT vec_id, bb.b, substr(sig, bb.b * 4 + 1, 4) AS key
+  FROM sigs, (SELECT unnest(range(4)) AS b) bb
+),
+qb AS (SELECT b, key FROM bnd WHERE vec_id = 0),
+cand AS (SELECT DISTINCT bnd.vec_id FROM bnd JOIN qb ON bnd.b = qb.b AND bnd.key = qb.key),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+  FROM embeddings e JOIN cand USING (vec_id), q
+)
+SELECT vec_id, round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos
+FROM pairs GROUP BY vec_id ORDER BY cos DESC, vec_id ASC LIMIT 10""",
+)
 
 
 # ---- Relevance expansion (ESet/Bo1) + spelling ------------------------------
