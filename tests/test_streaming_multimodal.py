@@ -119,3 +119,46 @@ def test_multimodal_pipeline(spark):
     # the real decoder is a clearly-marked stub
     with pytest.raises(NotImplementedError):
         real_decoder(b"x", "image", "image/png")
+
+
+def test_streaming_stateful_first_seen(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: a duplicate arriving in a
+    LATER micro-batch is suppressed by state carried across batches."""
+    import glob
+    import os
+    import shutil
+
+    from xapian_spark.streaming.stateful import streaming_first_seen
+
+    src = tmp_path / "in"
+    src.mkdir()
+    batches = [
+        [(1, "aaa"), (2, "bbb")],
+        [(3, "aaa"), (4, "ccc")],  # doc 3 duplicates batch-1 content
+    ]
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows, "doc_id long, content string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(stage))
+        part = glob.glob(str(stage / "part-*.parquet"))[0]
+        dst = str(src / f"batch{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))  # stable batch order
+
+    stream = (
+        spark.readStream.schema("doc_id long, content string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_first_seen(stream)
+        .writeStream.format("memory")
+        .queryName("first_seen_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT * FROM first_seen_t").collect()}
+    assert got == {1, 2, 4}
