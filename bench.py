@@ -304,7 +304,7 @@ def _scaling(scale_docs: int) -> dict:
     """
     n_attempts = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
     max_attempts = int(
-        os.environ.get("SPARK_GRAFT_SCALING_MAX", str(n_attempts + 3))
+        os.environ.get("SPARK_GRAFT_SCALING_MAX", str(n_attempts + 5))
     )
     probe_min = float(os.environ.get("SPARK_GRAFT_PROBE_MIN", "0.9"))
     attempts = []
@@ -355,10 +355,13 @@ def _scaling(scale_docs: int) -> dict:
             break
     clean = _clean_set()
 
-    # Per-leg minima across ALL attempts: host interference on a pinned leg
-    # is additive and nonnegative, so min-over-repeats estimates each leg's
-    # intrinsic time; the minima ratio is the noise-robust fallback when
-    # the box never yields enough clean attempts for a median.
+    # Per-leg minima across ALL attempts: sporadic host spikes on a pinned
+    # leg are additive and nonnegative, so min-over-repeats estimates each
+    # leg's intrinsic time.  Reported alongside the medians; under
+    # PERSISTENT neighbor load (every probe degraded, both legs slowed
+    # together) the median of per-attempt RATIOS is the less biased
+    # statistic — paired legs cancel shared slowdown, while cross-attempt
+    # minima can pair a lucky t2 with an unlucky-window t8.
     t2_min = min(a["local[2]"]["seconds"] for a in attempts)
     t8_min = min(a["local[8]"]["seconds"] for a in attempts)
     minima_eff = round((t2_min / t8_min) / 4.0, 3)
@@ -371,10 +374,11 @@ def _scaling(scale_docs: int) -> dict:
     else:
         pool = sorted(attempts, key=lambda a: a["efficiency"])
         med = pool[len(pool) // 2]
-        primary = minima_eff
+        primary = med["efficiency"]
         estimator = (
-            f"per-leg minima over {len(attempts)} attempts (only "
-            f"{len(clean)} bracket-clean; additive-noise-robust estimator)"
+            f"median of all {len(attempts)} paired attempts (only "
+            f"{len(clean)} bracket-clean — persistent host load; paired "
+            "ratios cancel shared slowdown; per-leg minima reported too)"
         )
 
     scaling = {
