@@ -144,3 +144,39 @@ def test_embedding_near_dups_recall_and_precision(emb, ann):
     assert got <= truth
     # banded LSH recall on clustered data
     assert len(got & truth) / len(truth) >= 0.8
+
+
+def test_embedding_near_dups_bucket_cap(emb, ann):
+    """The 100 TB safety valve: capped run drops only pairs whose EVERY
+    shared band bucket exceeds the cap, and the audit helper exposes the
+    bucket histogram the cap acts on."""
+    from xapian_spark.operators.similarity import (
+        embedding_near_dups,
+        lsh_bucket_sizes,
+    )
+
+    tau = 0.9
+    sizes = {(r["band"], r["bucket_key"]): r["m"] for r in lsh_bucket_sizes(ann).collect()}
+    assert sizes and max(sizes.values()) >= 2
+    cap = max(sizes.values()) - 1  # force at least one bucket over the cap
+    uncapped = {
+        (r["a"], r["b"])
+        for r in embedding_near_dups(ann, tau, max_bucket_size=None).collect()
+    }
+    capped = {
+        (r["a"], r["b"])
+        for r in embedding_near_dups(ann, tau, max_bucket_size=cap).collect()
+    }
+    assert capped <= uncapped
+    # a generous cap (>= biggest bucket) must change nothing
+    roomy = {
+        (r["a"], r["b"])
+        for r in embedding_near_dups(
+            ann, tau, max_bucket_size=max(sizes.values())
+        ).collect()
+    }
+    assert roomy == uncapped
+    # default cap (1000) is far above this fixture's buckets → also identical
+    assert {
+        (r["a"], r["b"]) for r in embedding_near_dups(ann, tau).collect()
+    } == uncapped

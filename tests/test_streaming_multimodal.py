@@ -162,3 +162,36 @@ def test_streaming_stateful_first_seen(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.sql("SELECT * FROM first_seen_t").collect()}
     assert got == {1, 2, 4}
+
+
+def test_multiindex_caps_tiered_segments(spark, monkeypatch, tmp_path):
+    """A tiered segment's impact bits live at block_no bits 60-61, so only
+    16 salt ordinals are safe — MultiIndex must refuse the 17th segment
+    when any segment was built with impact_tiers > 1 (and still allow up
+    to 127 plain segments)."""
+    import xapian_spark.streaming.freshness as fresh
+
+    class _FakePart:
+        def __init__(self, tiers):
+            self.config = {"impact_tiers": tiers}
+
+    def _fake_load(spark_, path):
+        return _FakePart(2 if path.endswith("-t") else 1)
+
+    monkeypatch.setattr(fresh, "load_index", _fake_load)
+    mi = MultiIndex(spark, str(tmp_path / "none"))
+
+    # 16 segments, one tiered → ordinal range 0-15 exceeds the 4 salt bits
+    monkeypatch.setattr(
+        fresh, "_segments", lambda root: [f"seg-{i}-t" for i in range(16)]
+    )
+    with pytest.raises(ValueError, match="impact_tiers"):
+        mi.load()
+
+    # 16 plain segments pass the cap check (fails later on fake parts,
+    # which is fine — the guard under test is the first statement)
+    monkeypatch.setattr(
+        fresh, "_segments", lambda root: [f"seg-{i}" for i in range(16)]
+    )
+    with pytest.raises(AttributeError):
+        mi.load()

@@ -83,3 +83,21 @@ def test_impact_tiered_layout_prunes_and_stays_exact(spark, corpus):
     assert exact == pruned
     assert st["blocks_pruned"] > 0, st
     ix.postings.unpersist()
+
+
+def test_impact_tiers_reject_sparse_docid_space(spark, corpus):
+    """Tier packing steals span_no bit 28 (block_no bit 60); doc_id ≥ 2^40
+    would overflow into the tier field — the build must refuse loudly."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+    from xapian_spark.operators.indexer import build_index
+
+    sparse = corpus.withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1 << 40).cast("long")
+    )
+    with _pytest.raises(ValueError, match="2\\^40"):
+        build_index(spark, sparse, impact_tiers=4, block_size=16)
+    # same ids are fine without tiers
+    ix = build_index(spark, sparse, impact_tiers=1, block_size=16)
+    assert ix.stats["doccount"] == corpus.count()

@@ -594,6 +594,7 @@ def build_index(
                 "uniq_lb"
             ),
             F.max("uniq_terms").alias("uniq_ub"),
+            F.max("doc_id").alias("max_doc_id"),
         )
         .crossJoin(corpus.agg(F.count("*").alias("doccount")))
         .crossJoin(
@@ -647,9 +648,23 @@ def build_index(
         dict_spans = F.broadcast(dict_spans)
     span_no = (F.col("doc_id") / F.col("span")).cast("long")
     if impact_tiers > 1:
+        # Tier packing needs span_no < 2^28, which holds iff
+        # doc_id < 2^40 at the 4096 minimum span.  Dense docid spaces at
+        # 10^12 docs fit; sparse/snowflake-style ids would silently
+        # overflow into the tier field and merge tier groups (weaker
+        # pruning + (term, block_no) collisions in MultiIndex) — so
+        # refuse loudly instead.
+        max_doc_id = int(st["max_doc_id"] or 0)
+        if max_doc_id >= (1 << 40):
+            raise ValueError(
+                f"impact_tiers > 1 requires doc_id < 2^40 (got max "
+                f"{max_doc_id}); remap ids densely or build with "
+                f"impact_tiers=1"
+            )
         # tier 0 = wdf ≥ 2^(T-1) … tier T-1 = the wdf-1 tail; encoded in
-        # span_no's high bits (span_no < 2^28 at 10^12 docs, block_no has
-        # 62-bit headroom) so the pack kernel and block_no stay untouched
+        # span_no's high bits (span_no < 2^28 given the doc_id guard
+        # above, block_no has 62-bit headroom) so the pack kernel and
+        # block_no stay untouched
         tier = F.lit(impact_tiers - 1)
         # build innermost-first so the HIGHEST threshold is checked first
         # (each when() wraps the previous expression as its otherwise)

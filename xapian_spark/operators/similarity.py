@@ -307,10 +307,22 @@ def cosine_pairs_topk(
     )
 
 
+def lsh_bucket_sizes(index: AnnLshIndex) -> DataFrame:
+    """Audit helper: (band, bucket_key, m) histogram of the ANN index's LSH
+    buckets — run before choosing ``max_bucket_size`` for
+    ``embedding_near_dups`` to see what a cap would drop."""
+    return (
+        index.buckets.groupBy("band", "bucket_key")
+        .agg(F.count("*").alias("m"))
+        .orderBy(F.desc("m"))
+    )
+
+
 def embedding_near_dups(
     index: AnnLshIndex,
     threshold: float,
     round_digits: int = 4,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs (a, b, cos) with cos ≥ threshold, a < b — the
     scale path: candidate pairs are rows sharing ≥1 LSH band bucket (an
@@ -319,12 +331,29 @@ def embedding_near_dups(
     true near-dup pair hashing into disjoint buckets in every band is
     missed (probability shrinks with bands; pytest pins recall vs the
     brute-force miner).  Never materializes a cross join.
+
+    ``max_bucket_size`` (default 1000, on) is the same 100 TB safety valve
+    as ``minhash_candidate_pairs``: a degenerate bucket of m rows (zero /
+    boilerplate embeddings share a constant-sign signature) emits
+    m(m-1)/2 pair rows into ONE reducer.  Buckets above the cap are
+    dropped before the self-join; a pair is still found if ANY band puts
+    both rows in a surviving bucket.  Use ``lsh_bucket_sizes`` to audit
+    what a chosen cap drops; pass ``None`` to disable (small data only).
     """
     idc = index.id_col
-    x = index.buckets.select(
+    buckets = index.buckets
+    if max_bucket_size is not None:
+        ok = (
+            buckets.groupBy("band", "bucket_key")
+            .agg(F.count("*").alias("m"))
+            .filter(F.col("m") <= max_bucket_size)
+            .select("band", "bucket_key")
+        )
+        buckets = buckets.join(ok, ["band", "bucket_key"], "left_semi")
+    x = buckets.select(
         F.col(idc).alias("a"), "band", "bucket_key"
     )
-    y = index.buckets.select(
+    y = buckets.select(
         F.col(idc).alias("b"), "band", "bucket_key"
     )
     pairs = (

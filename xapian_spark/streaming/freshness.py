@@ -92,10 +92,26 @@ class MultiIndex:
         # collide in the union — the WAND kernel's left-semi joins on
         # (term, block_no) would then pull both segments' blocks for one key
         # and double-count candidate partials.  Salt the high bits with the
-        # segment ordinal (block_no = span_no<<32 | idx stays < 2^56 for any
-        # realistic span count; 128 segments fit in the remaining bits).
-        if len(parts) >= (1 << 7):
-            raise ValueError("MultiIndex supports at most 127 uncompacted segments")
+        # segment ordinal.  Bit budget: block_no = span_no<<32 | idx, with
+        # span_no < 2^24 for realistic corpora (doc_id < 2^36 at the 4096
+        # minimum span) → bits 56-62 are free and 127 segments fit.  But a
+        # segment built with impact_tiers > 1 carries its tier at span_no
+        # bit 28 → block_no bits 60-61 (indexer.TIER_SHIFT=60), so only
+        # bits 56-59 remain for the salt: ordinal ≥ 16 would carry into the
+        # tier field, two segments could emit identical (term, block_no),
+        # and WAND would score a doc's postings twice.  Cap accordingly.
+        tiered = any(p.config.get("impact_tiers", 1) > 1 for p in parts)
+        max_segs = (1 << 4) if tiered else (1 << 7)
+        if len(parts) >= max_segs:
+            why = (
+                " when any segment uses impact_tiers > 1 (segment salt bits"
+                " 60+ would collide with tier bits; compact first)"
+                if tiered
+                else ""
+            )
+            raise ValueError(
+                f"MultiIndex supports at most {max_segs - 1} uncompacted segments{why}"
+            )
 
         def _salted(p, i):
             return p.postings.withColumn(
