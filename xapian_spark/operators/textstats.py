@@ -36,27 +36,64 @@ def language_id(
     Per document, count tokens (with multiplicity) hitting each language's
     function-word profile; predict the argmax language, ties broken by
     LANG_MARKERS order, zero hits everywhere → 'und'.  marker_ratio is the
-    winning count over the token count.  Pure Column expressions — one scan,
-    no shuffle, no Python; at 100 TB this is a single narrow projection.
+    winning count over the token count.
+
+    One Arrow ``mapInPandas`` pass: a v1 pure-Column version evaluated five
+    interpreted ``F.filter`` higher-order counts plus the argmax chain over
+    them — interpreted HOFs get no common-subexpression elimination, so the
+    token split re-ran ~12× per row (measured ~6× the scan floor at sf0.1;
+    same trap as winnow v1, see dedup.py).  The kernel tokenizes once per
+    row and emits integer counts; the division + rounding stay JVM-side so
+    half-up ``F.round`` semantics match the SQL oracle exactly.  Still one
+    scan, no shuffle — at 100 TB a single narrow projection.
     """
-    toks = tokens_col(text_col)
+    import pandas as pd
+    import re
+
     langs = list(LANG_MARKERS)
-    counts = {}
-    for lang, words in LANG_MARKERS.items():
-        arr = F.array(*[F.lit(w) for w in words])
-        counts[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-    best = F.greatest(*[counts[lg] for lg in langs])
-    pred = F.lit("und")
-    for lg in reversed(langs):  # earlier language wins ties
-        pred = F.when(counts[lg] == best, F.lit(lg)).otherwise(pred)
-    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
-    n_tok = F.size(toks)
-    ratio = F.when(n_tok > 0, F.round(best.cast("double") / n_tok.cast("double"), round_digits)).otherwise(F.lit(0.0))
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        pred.alias("lang_pred"),
-        ratio.alias("marker_ratio"),
-    )
+    marker_of = {}
+    for li, lg in enumerate(langs):
+        for w in LANG_MARKERS[lg]:
+            marker_of.setdefault(w, li)
+    # ASCII \s+ to match Java's default \s in the Column tokenizer paths
+    split_re = re.compile(r"\s+", re.ASCII)
+    n_langs = len(langs)
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, bests, preds, ntoks = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in split_re.split((text or "").lower()) if t]
+                counts = [0] * n_langs
+                for t in toks:
+                    li = marker_of.get(t)
+                    if li is not None:
+                        counts[li] += 1
+                best = max(counts) if counts else 0
+                ids.append(doc_id)
+                bests.append(best)
+                ntoks.append(len(toks))
+                preds.append("und" if best == 0 else langs[counts.index(best)])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "lang_pred": pd.Series(preds, dtype="object"),
+                    "_best": pd.Series(bests, dtype="int64"),
+                    "_n_tok": pd.Series(ntoks, dtype="int64"),
+                }
+            )
+
+    raw = docs.select(
+        F.col(id_col).alias(id_col), F.col(text_col)
+    ).mapInPandas(kernel, "doc_id long, lang_pred string, _best long, _n_tok long")
+    ratio = F.when(
+        F.col("_n_tok") > 0,
+        F.round(
+            F.col("_best").cast("double") / F.col("_n_tok").cast("double"),
+            round_digits,
+        ),
+    ).otherwise(F.lit(0.0))
+    return raw.select("doc_id", "lang_pred", ratio.alias("marker_ratio"))
 
 
 # BPE-ish pretokenizer: letter runs / digit runs / non-space-punct runs.
