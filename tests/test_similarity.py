@@ -180,3 +180,46 @@ def test_embedding_near_dups_bucket_cap(emb, ann):
     assert {
         (r["a"], r["b"]) for r in embedding_near_dups(ann, tau).collect()
     } == uncapped
+
+
+def test_lloyd_kmeans_matches_pure_python(emb):
+    """Engine Lloyd's ≡ an independent pure-Python replay (same init, same
+    per-step rounding) — the exactness contract the SQL oracle relies on."""
+    from xapian_spark.operators.cluster import lloyd_kmeans
+
+    k, iters, rd = 4, 3, 4
+    rows = sorted(
+        ((r["vec_id"], [float(x) for x in r["embedding"]]) for r in emb.collect())
+    )
+    cents = [v for _, v in rows[:k]]
+
+    def assign(cents_now):
+        out = {}
+        for vid, v in rows:
+            dists = [
+                round(sum((a - b) * (a - b) for a, b in zip(v, c)), rd)
+                for c in cents_now
+            ]
+            out[vid] = dists.index(min(dists))
+        return out
+
+    a = assign(cents)
+    for _ in range(iters - 1):
+        sums, cnts = {}, {}
+        for vid, v in rows:
+            j = a[vid]
+            cnts[j] = cnts.get(j, 0) + 1
+            s = sums.setdefault(j, [0.0] * len(v))
+            for d, x in enumerate(v):
+                s[d] += x
+        cents = [
+            [round(s / cnts[j], rd) for s in sums[j]] for j in sorted(sums)
+        ]
+        a = assign(cents)
+
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in lloyd_kmeans(emb, k=k, iters=iters, round_digits=rd).collect()
+    }
+    assert got == a
+    assert len(set(a.values())) > 1  # fixture actually separates clusters

@@ -1450,13 +1450,70 @@ WHERE rn = 1""",
 )
 
 
+_KM_K, _KM_ITERS = 4, 3
+
+
 def _q_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.cluster import kmeans_clusters
+    """Deterministic fixed-iteration Lloyd's over the embeddings table —
+    cluster sizes after _KM_ITERS assignment steps (cluster/kmeans.cc
+    semantics, engineered for cross-engine replay; the MLlib TF-IDF
+    clusterer kmeans_clusters keeps its own pytest coverage)."""
+    from .operators.cluster import lloyd_kmeans
 
-    m = get_matcher(spark, sf_dir)
-    cl = kmeans_clusters(spark, m.index, k=4, max_iter=8)
-    return cl.groupBy("cluster").agg(F.count("*").alias("cnt")).orderBy("cluster")
+    cl = lloyd_kmeans(
+        _embeddings(spark, sf_dir), k=_KM_K, iters=_KM_ITERS, round_digits=4
+    )
+    return (
+        cl.groupBy("cluster")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(F.col("cluster").cast("int"), "cnt")
+        .orderBy("cluster")
+    )
 
 
-# iterative MLlib algorithm — no SQL analog (rows-only check)
-_register("kmeans_cluster_sizes", _q_clusters, None)
+def _kmeans_sql() -> str:
+    # unrolled Lloyd's: d{i}/a{i} = assignment step i, c{i} = centroid
+    # update after it; every distance and every centroid coordinate is
+    # round(·, 4)ed on both engines so float state resets per iteration
+    parts = [
+        """
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+),
+init AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+),
+c0 AS (SELECT i.cluster, e.dim, e.val FROM init i JOIN e ON e.vec_id = i.vec_id)""".format(k=_KM_K)
+    ]
+    for i in range(1, _KM_ITERS + 1):
+        parts.append(
+            """, d{i} AS (
+  SELECT e.vec_id, c.cluster,
+         round(sum((e.val - c.val) * (e.val - c.val)), 4) AS dist
+  FROM e JOIN c{p} c ON e.dim = c.dim GROUP BY e.vec_id, c.cluster
+), a{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM d{i})
+  WHERE rn = 1
+)""".format(i=i, p=i - 1)
+        )
+        if i < _KM_ITERS:
+            parts.append(
+                """, c{i} AS (
+  SELECT a.cluster, e.dim, round(avg(e.val), 4) AS val
+  FROM a{i} a JOIN e ON e.vec_id = a.vec_id GROUP BY a.cluster, e.dim
+)""".format(i=i)
+            )
+    parts.append(
+        "\nSELECT cluster::INTEGER AS cluster, count(*)::BIGINT AS cnt "
+        "FROM a{} GROUP BY cluster ORDER BY cluster".format(_KM_ITERS)
+    )
+    return "".join(parts)
+
+
+_register("kmeans_cluster_sizes", _q_clusters, _kmeans_sql())

@@ -87,3 +87,81 @@ def kmeans_clusters(
     return model.transform(vecs).select(
         "doc_id", F.col("prediction").alias("cluster")
     )
+
+
+def lloyd_kmeans(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Deterministic fixed-iteration Lloyd's k-means over an array column —
+    (id, cluster) after ``iters`` assignment steps.
+
+    The reference's clusterer (cluster/kmeans.cc, include/xapian/
+    cluster.h:520-674) is deterministic given its seed and iteration cap;
+    this is the analog engineered for CROSS-ENGINE reproducibility so the
+    driver's DuckDB oracle can replay it exactly:
+
+    - init: centroids = the vectors of the ``k`` smallest ids (no RNG);
+    - assignment: squared-euclidean distance ROUNDED to ``round_digits``
+      before the argmin, ties to the smaller cluster index — rounding
+      absorbs sum-order ulp drift between engines;
+    - update: per-dimension mean, ROUNDED to ``round_digits`` — resets
+      float state each iteration so drift cannot compound.
+
+    Scale shape: assignment is a narrow no-shuffle projection against k
+    driver-held centroids (k·dim doubles — the canonical distributed
+    Lloyd's); the update is one posexplode + groupBy(cluster, dim) agg of
+    n·dim rows.  ``iters`` assignment steps run ``iters - 1`` updates.
+    """
+    base = emb.select(F.col(id_col), F.col(vec_col))
+    init = sorted(
+        base.orderBy(id_col).limit(k).collect(), key=lambda r: r[id_col]
+    )
+    # init vectors stay UNROUNDED: parquet float32 → double is exact on
+    # both engines, while a Python round() here would use banker's
+    # rounding and diverge from SQL round() on exact half-way values
+    cents: dict[int, list[float]] = {
+        j: [float(x) for x in r[vec_col]] for j, r in enumerate(init)
+    }
+
+    def assign_df(cents_now):
+        dists = {}
+        for j, c in sorted(cents_now.items()):
+            carr = F.array(*[F.lit(float(x)) for x in c])
+            d = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    carr,
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            dists[j] = F.round(d, round_digits)
+        best = F.least(*dists.values())
+        cl = F.lit(max(dists))
+        for j in sorted(dists, reverse=True)[1:]:  # smallest index wins ties
+            cl = F.when(dists[j] == best, F.lit(j)).otherwise(cl)
+        return base.select(F.col(id_col), cl.cast("int").alias("cluster"))
+
+    assigned = assign_df(cents)
+    for _ in range(iters - 1):
+        rows = (
+            emb.join(assigned, id_col)
+            .select("cluster", F.posexplode(vec_col).alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg(F.col("val").cast("double")), round_digits).alias("v"))
+            .collect()
+        )
+        new_cents: dict[int, dict[int, float]] = {}
+        for r in rows:
+            new_cents.setdefault(r["cluster"], {})[r["dim"]] = r["v"]
+        cents = {
+            j: [d[i] for i in sorted(d)] for j, d in new_cents.items()
+        }
+        assigned = assign_df(cents)
+    return assigned
