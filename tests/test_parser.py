@@ -354,3 +354,152 @@ def test_synonyms_persist_in_index_metadata(tmp_path, spark, index):
     p.use_synonyms(ix2)
     q = p.parse_query("~fast")
     assert isinstance(q, Q.Synonym)
+
+
+# ---- round-4 flag surface (api_queryparser.cc: qp_flag_pure_not1,
+# qp_flag_partial1, qp_flag_bool_any_case1, synonym + wildcard cases) ------
+
+
+def test_flag_pure_not():
+    from xapian_spark.plans.parser import FLAG_PURE_NOT
+
+    p = QueryParser(flags=DEFAULT_FLAGS | FLAG_PURE_NOT)
+    # { "NOT windows", "(0 * <alldocuments> AND_NOT Zwindow@1)" }
+    q = p.parse_query("NOT windows")
+    assert isinstance(q, Q.AndNot)
+    assert isinstance(q.left, Q.ScaleWeight) and q.left.factor == 0.0
+    assert isinstance(q.left.subquery, Q.MatchAll)
+    assert q.right.term == "windows"
+    # { "a AND (NOT b)", "(Za@1 AND (0 * <alldocuments> AND_NOT Zb@2))" }
+    q = p.parse_query("a AND (NOT b)")
+    assert isinstance(q, Q.And)
+    inner = q.children[1]
+    assert isinstance(inner, Q.AndNot) and isinstance(inner.left, Q.ScaleWeight)
+    # without the flag a bare NOT cannot match anything
+    assert isinstance(P.parse_query("NOT windows"), Q.MatchNothing)
+
+
+def test_flag_boolean_any_case():
+    from xapian_spark.plans.parser import FLAG_BOOLEAN_ANY_CASE
+
+    p = QueryParser(flags=DEFAULT_FLAGS | FLAG_BOOLEAN_ANY_CASE)
+    assert isinstance(p.parse_query("a and b"), Q.And)
+    assert isinstance(p.parse_query("a And b"), Q.And)
+    assert isinstance(p.parse_query("a not b"), Q.AndNot)
+    q = p.parse_query("a or b xor c")
+    assert isinstance(q, Q.Or) and isinstance(q.children[1], Q.Xor)
+    q = p.parse_query("a near/5 b")
+    assert isinstance(q, Q.Near) and q.window == 6
+    q = p.parse_query("a adj b")
+    assert isinstance(q, Q.Phrase) and q.window == 11
+    # without the flag, lowercase operators are plain terms
+    q = P.parse_query("a and b")
+    assert isinstance(q, Q.Or) and len(q.children) == 3
+
+
+def _find_nodes(q, cls):
+    out = []
+    stack = [q]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, cls):
+            out.append(n)
+        for attr in ("children", "left", "right", "subquery"):
+            v = getattr(n, attr, None)
+            if isinstance(v, list):
+                stack.extend(v)
+            elif isinstance(v, Q.Query):
+                stack.append(v)
+    return out
+
+
+def test_flag_partial():
+    from xapian_spark.plans.parser import FLAG_PARTIAL
+
+    p = QueryParser(flags=DEFAULT_FLAGS | FLAG_PARTIAL)
+    q = p.parse_query("hello wor")
+    wilds = _find_nodes(q, Q.Wildcard)
+    assert len(wilds) == 1 and wilds[0].pattern == "wor*"
+    assert wilds[0].max_expansion == 100
+    assert wilds[0].limit_policy == "most_frequent"
+    # the full form stays as an alternative
+    assert any(t.term == "wor" for t in _find_nodes(q, Q.Term))
+    # trailing whitespace → "more stable results": no wildcard
+    assert not _find_nodes(p.parse_query("hello wor "), Q.Wildcard)
+    # below MIN_PARTIAL_PREFIX_LEN → normal term
+    assert not _find_nodes(p.parse_query("hello w"), Q.Wildcard)
+    # inside a quoted phrase → untouched
+    assert not _find_nodes(p.parse_query('"hello wor"'), Q.Wildcard)
+
+
+def test_flag_partial_stemming_keeps_unstemmed_root():
+    from xapian_spark.plans.parser import FLAG_PARTIAL
+
+    p = QueryParser(flags=DEFAULT_FLAGS | FLAG_PARTIAL, stem="en")
+    q = p.parse_query("search")
+    wilds = _find_nodes(q, Q.Wildcard)
+    # wildcard expands the raw prefix, full form is the stemmed term
+    assert wilds and wilds[0].pattern == "search*"
+    assert any(t.term == "Zsearch" for t in _find_nodes(q, Q.Term))
+
+
+def test_flag_auto_multiword_synonyms():
+    from xapian_spark.plans.parser import FLAG_AUTO_MULTIWORD_SYNONYMS
+
+    p = QueryParser(flags=DEFAULT_FLAGS | FLAG_AUTO_MULTIWORD_SYNONYMS)
+    p.set_synonyms({"false positive": ["fp"], "false positive rate": ["fpr"]})
+    q = p.parse_query("a false positive b")
+    syns = _find_nodes(q, Q.Synonym)
+    assert len(syns) == 1
+    terms = {t.term for t in _find_nodes(syns[0], Q.Term)}
+    assert terms == {"false", "positive", "fp"}
+    # greedy: the longer key wins
+    q = p.parse_query("false positive rate")
+    syns = _find_nodes(q, Q.Synonym)
+    assert len(syns) == 1
+    assert {t.term for t in _find_nodes(syns[0], Q.Term)} == {
+        "false", "positive", "rate", "fpr",
+    }
+    # non-adjacent words don't match
+    q = p.parse_query("false AND positive")
+    assert not _find_nodes(q, Q.Synonym)
+
+
+def test_flag_wildcard_glob():
+    from xapian_spark.plans.parser import (
+        FLAG_WILDCARD_GLOB,
+        FLAG_WILDCARD_MULTI,
+        FLAG_WILDCARD_SINGLE,
+    )
+
+    p = QueryParser(flags=DEFAULT_FLAGS | FLAG_WILDCARD_GLOB)
+    q = p.parse_query("b?n*")
+    assert isinstance(q, Q.Wildcard) and q.pattern == "b?n*"
+    q = p.parse_query("mid*dle")
+    assert isinstance(q, Q.Wildcard) and q.pattern == "mid*dle"
+    # SINGLE alone: '?' is a wildcard, '*' is not enabled
+    ps = QueryParser(flags=DEFAULT_FLAGS | FLAG_WILDCARD_SINGLE)
+    assert isinstance(ps.parse_query("b?n"), Q.Wildcard)
+    assert not isinstance(ps.parse_query("bin*"), Q.Wildcard)
+    # MULTI alone: trailing-star truncation still works ('FLAG_WILDCARD is
+    # ignored if this flag is specified' — same result here)
+    pm = QueryParser(flags=DEFAULT_FLAGS | FLAG_WILDCARD_MULTI)
+    assert isinstance(pm.parse_query("bin*"), Q.Wildcard)
+    assert not isinstance(pm.parse_query("b?n"), Q.Wildcard)
+
+
+def test_pure_not_and_partial_evaluate(spark, matcher, index):
+    """The new flag lowerings must be executable, not just parseable."""
+    from xapian_spark.plans.parser import FLAG_PARTIAL, FLAG_PURE_NOT
+
+    p = QueryParser(flags=DEFAULT_FLAGS | FLAG_PURE_NOT)
+    q = p.parse_query("NOT binary_search")
+    n_with = matcher.mset(Q.Term("binary_search"), maxitems=10000, with_count=True).matches
+    res = matcher.mset(q, maxitems=10000, with_count=True)
+    assert res.matches == index.stats["doccount"] - n_with
+    assert all(r["weight"] == 0.0 for r in res.df.collect())
+
+    pp = QueryParser(flags=DEFAULT_FLAGS | FLAG_PARTIAL)
+    qq = pp.parse_query("binary_sea")
+    got = matcher.mset(qq, maxitems=5).df.collect()
+    assert got, "partial prefix must match binary_search docs"

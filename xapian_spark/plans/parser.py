@@ -3,7 +3,15 @@
 Re-expresses the reference parser's behavior
 (xapian-core/queryparser/queryparser.lemony) for the feature set
 FLAG_PHRASE | FLAG_BOOLEAN | FLAG_LOVEHATE (the reference default,
-include/xapian/queryparser.h:791) plus opt-in FLAG_WILDCARD:
+include/xapian/queryparser.h:791) plus the opt-in flags FLAG_WILDCARD,
+FLAG_BOOLEAN_ANY_CASE (lowercase operators), FLAG_PURE_NOT (``NOT x`` →
+0·MatchAll AND_NOT x), FLAG_PARTIAL (search-as-you-type final-word
+wildcard), FLAG_SPELLING_CORRECTION, FLAG_SYNONYM / FLAG_AUTO_SYNONYMS /
+FLAG_AUTO_MULTIWORD_SYNONYMS (greedy longest multi-word synonym keys over
+term groups), FLAG_FUZZY, FLAG_NGRAMS (the ``ngrams=True`` ctor arg) and
+FLAG_WILDCARD_MULTI / SINGLE / GLOB (glob wildcards anywhere in a word);
+flag VALUES mirror queryparser.h exactly.  Not implemented:
+FLAG_WORD_BREAKS (ICU), FLAG_ACCUMULATE, FLAG_NO_POSITIONS:
 
 - default combining operator OP_OR (queryparser_internal.h:97);
 - boolean operators AND / OR / NOT / XOR (uppercase only), with the
@@ -53,15 +61,26 @@ from ..functions.prefixes import make_term
 from ..functions.tokenizer import simple_tokenize, xapian_tokenize
 from . import query as Q
 
+# Flag values mirror include/xapian/queryparser.h exactly (":539-791")
 FLAG_BOOLEAN = 1
 FLAG_PHRASE = 2
 FLAG_LOVEHATE = 4
-FLAG_WILDCARD = 8
-FLAG_FUZZY = 16
-FLAG_SYNONYM = 32  # '~term' syntax (queryparser.h:605)
-FLAG_AUTO_SYNONYMS = 64  # every term auto-expands (queryparser.h:619)
+FLAG_BOOLEAN_ANY_CASE = 8  # lowercase and/or/not/xor (queryparser.h:539)
+FLAG_WILDCARD = 16  # right truncation only (queryparser.h:556)
+FLAG_PURE_NOT = 32  # 'NOT apples' with no left side (queryparser.h:563)
+FLAG_PARTIAL = 64  # search-as-you-type final-word wildcard (queryparser.h:584)
 FLAG_SPELLING_CORRECTION = 128  # "did you mean" (queryparser.h:592-604)
+FLAG_SYNONYM = 256  # '~term' syntax (queryparser.h:605)
+FLAG_AUTO_SYNONYMS = 512  # every term auto-expands (queryparser.h:610)
+FLAG_AUTO_MULTIWORD_SYNONYMS = 1024  # term-group synonyms (queryparser.h:618)
+FLAG_WILDCARD_MULTI = 8192  # '*' anywhere in a word (queryparser.h:680)
+FLAG_WILDCARD_SINGLE = 16384  # '?' matches one char (queryparser.h:695)
+FLAG_WILDCARD_GLOB = FLAG_WILDCARD_MULTI | FLAG_WILDCARD_SINGLE
+FLAG_FUZZY = 32768  # 'word~k' edit distance (queryparser.h:718)
 DEFAULT_FLAGS = FLAG_BOOLEAN | FLAG_PHRASE | FLAG_LOVEHATE
+
+# search-as-you-type guardrail (queryparser_internal.h:125)
+MIN_PARTIAL_PREFIX_LEN = 2
 
 
 @dataclass
@@ -362,6 +381,7 @@ class _Tok:
     proc: object | None = None  # RangeProcessor for kind='range'
     hi: str | None = None  # range upper endpoint (text holds lo)
     raw: str | None = None  # original word (fallback when a range rejects)
+    partial: bool = False  # FLAG_PARTIAL: final word, no trailing whitespace
 
 
 class QueryParser:
@@ -530,8 +550,45 @@ class QueryParser:
                 pending_prefix = "hate"
             else:
                 word = m.group("word") or m.group("op") or m.group("near")
+                # FLAG_BOOLEAN_ANY_CASE (queryparser.h:539, lemony:1516-1522):
+                # recognize lowercase/mixed-case operators by upper-casing
+                # the candidate before the operator check
+                if (
+                    self.flags & FLAG_BOOLEAN
+                    and self.flags & FLAG_BOOLEAN_ANY_CASE
+                    and m.group("word")
+                ):
+                    up = word.upper()
+                    if up in ("AND", "OR", "NOT", "XOR"):
+                        out.append(_Tok(up, up))
+                        pending_prefix = None
+                        continue
+                    nm = re.match(r"^(NEAR|ADJ)(?:/(\d+))?$", up)
+                    if nm is not None:
+                        out.append(
+                            _Tok(
+                                nm.group(1),
+                                up,
+                                window=int(nm.group(2)) if nm.group(2) else None,
+                            )
+                        )
+                        pending_prefix = None
+                        continue
                 tok, pending_field = self._classify_word(word, pending_prefix)
                 if tok is not None:
+                    # FLAG_PARTIAL (queryparser.h:584, lemony:1648-1662):
+                    # the final word, only when nothing (not even
+                    # whitespace) follows it, becomes a wildcarded match.
+                    # Boolean-prefix fields, ranges, phrases and wildcards
+                    # are excluded like the reference.
+                    if (
+                        self.flags & FLAG_PARTIAL
+                        and tok.kind == "word"
+                        and m.end() == len(text)
+                        and (tok.field is None or tok.field in self._prefixes)
+                        and not tok.text.endswith("*")
+                    ):
+                        tok.partial = True
                     # FLAG_SPELLING_CORRECTION (queryparser.lemony:1668-1685):
                     # only plain unprefixed free-text terms are checked —
                     # field-scoped words, ranges, fuzzy/synonym syntax and
@@ -541,6 +598,7 @@ class QueryParser:
                         self.flags & FLAG_SPELLING_CORRECTION
                         and tok.kind == "word"
                         and tok.field is None
+                        and not tok.partial  # partial final word → wildcard
                         and not (self.flags & FLAG_WILDCARD and tok.text.endswith("*"))
                     ):
                         terms = self._tok(tok.text)
@@ -637,7 +695,16 @@ class QueryParser:
                 i += 1 if toks[i].kind == "NOT" else 2
                 right, i = self._parse_near(toks, i)
                 if right is not None:
-                    left = Q.AndNot(left, right) if left is not None else None
+                    if left is None and self.flags & FLAG_PURE_NOT:
+                        # 'NOT foo' → (0 * <alldocuments>) AND_NOT foo
+                        # (FLAG_PURE_NOT, queryparser.lemony:2306-2315 —
+                        # scaled by 0 so it doesn't add weight and an
+                        # enclosing AND can still eliminate it)
+                        left = Q.AndNot(
+                            Q.ScaleWeight(Q.MatchAll(), 0.0), right
+                        )
+                    else:
+                        left = Q.AndNot(left, right) if left is not None else None
             else:
                 right, i = self._parse_near(toks, i + 1)
                 if left is None:
@@ -707,6 +774,19 @@ class QueryParser:
                 got = True
                 i += 1
                 continue
+            if (
+                self.flags & FLAG_AUTO_MULTIWORD_SYNONYMS
+                and t.kind == "word"
+                and t.prefix is None
+                and t.field is None
+                and not t.partial
+            ):
+                mw = self._multiword_synonym(toks, i)
+                if mw is not None:
+                    node, i = mw
+                    normals.append(node)
+                    got = True
+                    continue
             if t.field is not None and t.field in self._bool_prefixes:
                 # boolean filter term: value VERBATIM, one per prefix
                 for p in self._bool_prefixes[t.field]:
@@ -735,9 +815,14 @@ class QueryParser:
                 # '~word' (FLAG_SYNONYM, queryparser.h:605): OP_SYNONYM over
                 # the term + its table entries
                 node = self._synonym_expand(self._word_node(t.text))
+            elif t.partial:
+                # FLAG_PARTIAL final word → wildcard OR full term
+                node = self._partial_node(t.text, field_prefixes=fps)
             else:
                 node = self._word_node(t.text, field_prefixes=fps)
-                if node is not None and self.flags & FLAG_AUTO_SYNONYMS:
+                if node is not None and self.flags & (
+                    FLAG_AUTO_SYNONYMS | FLAG_AUTO_MULTIWORD_SYNONYMS
+                ):
                     node = self._synonym_expand(node)
             if node is not None:
                 if t.prefix == "love":
@@ -782,6 +867,80 @@ class QueryParser:
     def _combine(self, nodes: list[Q.Query]) -> Q.Query:
         return Q.And(nodes) if self.default_op == "and" else Q.Or(nodes)
 
+    def _multiword_synonym(self, toks, i):
+        """FLAG_AUTO_MULTIWORD_SYNONYMS (queryparser.h:618, lemony
+        :1884-1966): greedily match the longest run of ≥2 consecutive
+        plain words whose space-joined (unstemmed) names form a synonym
+        key; the match becomes OP_SYNONYM(default_op(original term
+        queries), synonym terms).  Returns (node, next_i) or None."""
+        names: list[str] = []
+        words: list[str] = []
+        j = i
+        while j < len(toks):
+            t = toks[j]
+            if (
+                t.kind != "word"
+                or t.prefix is not None
+                or t.field is not None
+                or t.partial
+            ):
+                break
+            terms = self._tok(t.text)
+            if len(terms) != 1:  # hyphenated → implicit phrase, no key part
+                break
+            names.append(terms[0])
+            words.append(t.text)
+            j += 1
+        if len(names) < 2:
+            return None
+        for m in range(len(names), 1, -1):  # longest match wins
+            key = " ".join(names[:m])
+            syns = self._synonyms.get(key)
+            if syns:
+                originals = [
+                    n
+                    for n in (self._word_node(w) for w in words[:m])
+                    if n is not None
+                ]
+                q_orig = (
+                    originals[0] if len(originals) == 1 else self._combine(originals)
+                )
+                node = Q.Synonym([q_orig] + [Q.Term(s) for s in syns])
+                return node, i + m
+        return None
+
+    def _partial_node(
+        self, word: str, field_prefixes: list[str] | None = None
+    ) -> Q.Query | None:
+        """FLAG_PARTIAL lowering (Term::as_partial_query, queryparser
+        .lemony:564-590): OR(SYNONYM(per-prefix wildcard on the UNSTEMMED
+        root), SYNONYM(per-prefix full term as normally generated)), with
+        the reference's max_partial_expansion=100 / most-frequent limit
+        (queryparser_internal.h:113-119).  Words shorter than
+        MIN_PARTIAL_PREFIX_LEN or splitting into several index terms fall
+        back to normal handling."""
+        fps = field_prefixes if field_prefixes else [""]
+        terms = self._tok(word)
+        if len(terms) != 1 or len(terms[0]) < MIN_PARTIAL_PREFIX_LEN:
+            return self._word_node(word, field_prefixes=field_prefixes)
+        name = terms[0]
+        # per-prefix wildcards score synonym-combined like the reference's
+        # SYNONYM-over-OP_WILDCARD; multiple prefixes OR together (the
+        # same prefix-variant combination the rest of this parser uses)
+        wilds = [
+            Q.Wildcard(
+                make_term(p, name) + "*",
+                combiner="synonym",
+                max_expansion=100,
+                limit_policy="most_frequent",
+            )
+            for p in fps
+        ]
+        fulls = [self._leaf_term(name, p) for p in fps]
+        wild = wilds[0] if len(wilds) == 1 else Q.Or(wilds)
+        full = fulls[0] if len(fulls) == 1 else Q.Or(fulls)
+        return Q.Or([wild, full])
+
     def _leaf_term(self, t: str, prefix: str = "") -> Q.Query:
         """One token → Term with stem + field prefix (Term::make_term,
         queryparser.lemony:341-367: 'Z' + prefix + [':'] + stem)."""
@@ -810,6 +969,25 @@ class QueryParser:
                 if len(toks) == 1:
                     return Q.Term(toks[0])
                 return Q.Phrase([Q.Term(t) for t in toks], window=len(toks))
+        # FLAG_WILDCARD_MULTI ('*' anywhere) / FLAG_WILDCARD_SINGLE ('?')
+        # (queryparser.h:680-706; lemony is_extended_wildcard:900-905):
+        # glob-style patterns, FLAG_WILDCARD's right-truncation subsumed.
+        # Only fires when every wildcard char in the word is enabled —
+        # a disabled wildcard char is ordinary punctuation.
+        enabled = ""
+        if self.flags & FLAG_WILDCARD_MULTI:
+            enabled += "*"
+        if self.flags & FLAG_WILDCARD_SINGLE:
+            enabled += "?"
+        if enabled:
+            found = {c for c in word if c in "*?"}
+            if found and found <= set(enabled):
+                pat = word.lower()
+                pats = [
+                    Q.Wildcard(make_term(p, pat), combiner="synonym")
+                    for p in fps
+                ]
+                return pats[0] if len(pats) == 1 else Q.Or(pats)
         if self.flags & FLAG_WILDCARD and word.endswith("*") and len(word) > 1:
             stem = word[:-1]
             terms = self._tok(stem)
