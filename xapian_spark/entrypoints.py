@@ -324,11 +324,28 @@ GROUP BY post.doc_id ORDER BY score DESC, post.doc_id ASC LIMIT 20""",
 def _q_wand_topk(query: Q.Query, k: int):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = get_matcher(spark, sf_dir)
-        pruned = m.mset_df(query, 2 * k, prune=True)
-        return (
-            pruned.select("doc_id", F.round(F.col("weight"), ROUND).alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
+        # The oracle ranks ROUNDED scores over the full match set; the
+        # pruned path ranks raw scores.  Fetch a 2k+1 raw-rank window,
+        # re-rank rounded inside it, and PROVE the window sufficed: with
+        # the k-th rounded score strictly above the rounded (2k+1)-th raw
+        # score, no doc outside the window can reach the k-th rank or tie
+        # it (round is monotone, so anything below raw rank 2k+1 rounds
+        # to ≤ that value).  If rounding collapses the boundary, fall back
+        # to the exhaustive rounded ranking — exactness over speed.
+        n = 2 * k + 1
+        rows = m.mset_df(query, n, prune=True).collect()
+        ranked = sorted(
+            ((float(r["weight"]), int(r["doc_id"])) for r in rows),
+            key=lambda x: (-round(x[0], ROUND), x[1]),
+        )
+        if len(rows) >= n and k >= 1:
+            kth = round(ranked[k - 1][0], ROUND)
+            tail_raw = min(w for w, _ in ranked)
+            if not (kth > round(tail_raw, ROUND)):
+                return _topk(m, query, k)
+        return spark.createDataFrame(
+            [(d, round(w, ROUND)) for w, d in ranked[:k]],
+            "doc_id long, score double",
         )
 
     return run

@@ -80,27 +80,41 @@ def wand_topk(
     if not terms:
         return spark.createDataFrame([], "doc_id long, weight double")
 
-    # per-term constants → tiny broadcast lookup
-    consts = spark.createDataFrame(
-        [
-            (
-                t,
-                term_weights[t].termweight,
-                term_weights[t].len_factor,
-                term_weights[t].maxpart(term_stats[t][2], doclen_lower_bound),
-            )
-            for t in terms
-        ],
-        "term string, tw double, lf double, gmax double",
-    )
-    total_gmax = float(sum(term_weights[t].maxpart(term_stats[t][2], doclen_lower_bound) for t in terms))
+    # Per-term constants attach as literal CASE columns, NOT a broadcast
+    # join: a query has a handful of terms, and every F.broadcast(consts)
+    # reference used to cost its own broadcast-exchange job — at small
+    # corpus sizes those fixed jobs dominated the entry latency.
+    consts_v = {
+        t: (
+            float(term_weights[t].termweight),
+            float(term_weights[t].len_factor),
+            float(term_weights[t].maxpart(term_stats[t][2], doclen_lower_bound)),
+        )
+        for t in terms
+    }
+
+    def _case_col(idx):
+        expr = F.lit(consts_v[terms[-1]][idx])
+        for t in terms[-2::-1]:
+            expr = F.when(F.col("term") == t, F.lit(consts_v[t][idx])).otherwise(expr)
+        return expr
+
+    def with_consts(df):
+        return (
+            df.withColumn("tw", _case_col(0))
+            .withColumn("lf", _case_col(1))
+            .withColumn("gmax", _case_col(2))
+        )
+
+    total_gmax = float(sum(v[2] for v in consts_v.values()))
 
     meta = (
-        postings.filter(F.col("term").isin(terms))
-        .select(
-            "term", "block_no", "n", "max_wdf", "min_doclen", "first_docid", "last_docid"
+        with_consts(
+            postings.filter(F.col("term").isin(terms)).select(
+                "term", "block_no", "n", "max_wdf", "min_doclen",
+                "first_docid", "last_docid",
+            )
         )
-        .join(F.broadcast(consts), "term")
         .withColumn(
             "bound",
             _bound_col(params, F.col("tw"), F.col("lf"), F.col("max_wdf"), F.col("min_doclen")),
@@ -109,7 +123,11 @@ def wand_topk(
         .withColumn("rest", F.lit(total_gmax) - F.col("gmax"))
     ).persist()
 
-    # ---- Phase 1: θ from the densest/highest-bound few blocks per term ----
+    # ---- Phase 1: ONE collect serves θ AND the tier table ----
+    # θ comes from exactly scoring the densest/highest-bound few blocks per
+    # term; the per-(term, tier) aggregate feeds rule B's cutoff choice and
+    # the phase-3 gate.  Both results are tiny (k rows + terms × tiers
+    # rows), so they ride one union → one driver round-trip instead of two.
     w = Window.partitionBy("term").orderBy(F.desc("bound"), F.asc("block_no"))
     probe_keys = (
         meta.withColumn("rn", F.row_number().over(w))
@@ -117,15 +135,55 @@ def wand_topk(
         .select("term", "block_no")
     )
     probe_blocks = postings.join(F.broadcast(probe_keys), ["term", "block_no"], "left_semi")
-    probe_scores = _score_decoded(probe_blocks, consts, params)
-    kth = (
+    probe_scores = _score_decoded(probe_blocks, with_consts, params)
+    probe_part = (
         probe_scores.groupBy("doc_id")
         .agg(F.sum("s").alias("p"))
         .orderBy(F.desc("p"))
         .limit(k)
-        .collect()
+        .select(
+            F.lit("kth").alias("kind"),
+            F.lit(None).cast("string").alias("term"),
+            F.lit(None).cast("int").alias("tier"),
+            F.col("p").alias("supb"),
+            F.lit(None).cast("double").alias("minb"),
+            F.lit(None).cast("long").alias("cnt"),
+        )
     )
-    theta = float(kth[-1]["p"]) if len(kth) >= k else float("-inf")
+    tier_part = (
+        meta.groupBy(
+            "term", F.shiftright(F.col("block_no"), TIER_SHIFT).alias("tier")
+        )
+        .agg(
+            F.max("bound").alias("supb"),
+            F.min("bound").alias("minb"),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            F.lit("tier").alias("kind"), "term", "tier", "supb", "minb", "cnt"
+        )
+    )
+    # Phase 1 is shuffle-light at ANY corpus scale (map-side partial aggs
+    # reduce to k + terms × tiers rows), so AQE's per-stage job
+    # materialization only adds scheduling latency here — run it
+    # pipelined.  The scoring phases below keep AQE (their shuffles grow
+    # with the corpus and want skew handling / coalescing).
+    conf = spark.conf
+    aqe_was = conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        both = probe_part.unionByName(tier_part).collect()
+    finally:
+        conf.set("spark.sql.adaptive.enabled", aqe_was)
+    kth = sorted(
+        (float(r["supb"]) for r in both if r["kind"] == "kth"), reverse=True
+    )
+    theta = kth[k - 1] if len(kth) >= k else float("-inf")
+    tier_rows = [
+        (r["term"], int(r["tier"]), float(r["supb"]), float(r["minb"]), int(r["cnt"]))
+        for r in both
+        if r["kind"] == "tier"
+    ]
 
     # Exclusion decisions must be conservative under float64 noise: the
     # upper bounds are sums whose summation order differs between the
@@ -135,6 +193,11 @@ def wand_topk(
     eps = 1e-9 * (1.0 + abs(total_gmax))
 
     # ---- Phase 2: prune blocks that cannot beat θ ----
+    gmax_of = {
+        t: float(term_weights[t].maxpart(term_stats[t][2], doclen_lower_bound))
+        for t in terms
+    }
+    may_prune = False
     if math.isfinite(theta):
         # Rule A (per-block): bound(b) + Σ_{t'≠t} gmax_{t'} < θ.  Useless
         # for OR queries whose other term is hot (rest alone ≈ θ).
@@ -146,12 +209,7 @@ def wand_topk(
         # stays sound: an entirely-unseen doc with ANY rule-A-pruned block
         # is below θ by rule A's own bound, else all its blocks are
         # rule-B-pruned and the sum bound applies.
-        # ONE aggregation job serves everything driver-side: tier cutoffs,
-        # total/pruned block counts (meta itself is never collected — the
-        # per-(term, tier) aggregate is ≤ terms × tiers rows at any scale).
-        tier_cut, blocks_total, blocks_pruned = _tier_cutoffs(
-            meta, survive, theta - eps
-        )
+        tier_cut = _tier_cutoffs(tier_rows, theta - eps)
         if tier_cut:
             t_expr = F.lit(False)
             for t, tier in tier_cut:
@@ -160,22 +218,50 @@ def wand_topk(
                     & (F.shiftright(F.col("block_no"), TIER_SHIFT) == tier)
                 )
             survive = survive & ~t_expr
-        surviving_keys = meta.filter(survive).select("term", "block_no")
-        pruned_keys_all = meta.filter(~survive)
+        # exact phase-3 gate from the already-collected tier table: rule A
+        # prunes ≥1 block iff some tier's MIN bound plus that term's rest
+        # is below θ (rest = total_gmax − gmax_t, a per-term constant)
+        may_prune = bool(tier_cut) or any(
+            minb + (total_gmax - gmax_of[t]) < theta - eps
+            for t, _, _, minb, _ in tier_rows
+        )
     else:
-        surviving_keys = meta.select("term", "block_no")
-        pruned_keys_all = None
-        blocks_total = None  # not measured on the no-θ path (no extra job)
-        blocks_pruned = 0
+        survive = None
     if stats_out is not None:
-        stats_out["blocks_total"] = blocks_total
-        stats_out["blocks_pruned"] = blocks_pruned
+        # exact pruning telemetry costs ONE extra tiny aggregation job —
+        # only runs when the caller asks for it (tests / bench audits)
         stats_out["theta"] = theta
-    surv_blocks = postings.join(
-        F.broadcast(surviving_keys), ["term", "block_no"], "left_semi"
-    )
+        if math.isfinite(theta):
+            srow = meta.agg(
+                F.count("*").alias("tot"),
+                F.sum(F.when(survive, 0).otherwise(1)).alias("pr"),
+            ).collect()[0]
+            stats_out["blocks_total"] = int(srow["tot"])
+            stats_out["blocks_pruned"] = int(srow["pr"] or 0)
+        else:
+            stats_out["blocks_total"] = None
+            stats_out["blocks_pruned"] = 0
+    # Survival is a pure predicate over block METADATA columns, so it
+    # applies directly on the postings scan — no key semi-join, no
+    # broadcast-exchange job.  (Same IO either way: survivors' binary
+    # columns must be read regardless; pruned blocks' binaries are never
+    # decoded.)
+    base_post = with_consts(postings.filter(F.col("term").isin(terms)))
+    if survive is not None:
+        scored_post = base_post.withColumn(
+            "bound",
+            _bound_col(
+                params, F.col("tw"), F.col("lf"),
+                F.col("max_wdf"), F.col("min_doclen"),
+            ),
+        ).withColumn("rest", F.lit(total_gmax) - F.col("gmax"))
+        surv_blocks = scored_post.filter(survive)
+        pruned_all = scored_post.filter(~survive)
+    else:
+        surv_blocks = base_post
+        pruned_all = None
     partials = (
-        _score_decoded(surv_blocks, consts, params)
+        _score_decoded(surv_blocks, with_consts, params)
         .groupBy("doc_id")
         .agg(
             F.sum("s").alias("partial"),
@@ -197,34 +283,48 @@ def wand_topk(
     # the θ'/candidate machinery (one collect + three joins) would only
     # add jobs.
     cand = None
-    if math.isfinite(theta) and len(terms) > 1 and blocks_pruned > 0:
-        # θ' = k-th best partial (tighter than θ)
-        kth2 = partials.orderBy(F.desc("partial")).limit(k).collect()
-        theta2 = float(kth2[-1]["partial"]) if len(kth2) >= k else float("-inf")
+    if math.isfinite(theta) and len(terms) > 1 and may_prune:
+        # θ' = k-th best partial (tighter than θ) — computed IN the plan
+        # (global top-k limit + min), not via a driver collect: it only
+        # feeds the candidate filter, so it can stay executor-side
+        kth2_df = (
+            partials.orderBy(F.desc("partial"))
+            .limit(k)
+            .agg(
+                F.min("partial").alias("theta2"), F.count("*").alias("nk")
+            )
+        )
 
         # candidates possibly in top-k: partial + missing-terms bound ≥ θ'
         # (missing bound clamped at 0: a doc seen in every term has nothing
-        # to gain, even if the two float sums disagree by an ulp)
-        cand = partials.filter(
-            F.col("partial")
-            + F.greatest(F.lit(total_gmax) - F.col("seen_gmax"), F.lit(0.0))
-            >= F.lit(theta2 - eps)
-        ).persist()
-        cand_ids_df = cand.select("doc_id")
-        pruned_keys = pruned_keys_all.select(
-            "term", "block_no", "first_docid", "last_docid"
-        )
-        touching = (
-            pruned_keys.join(
-                F.broadcast(cand_ids_df),
-                (F.col("doc_id") >= F.col("first_docid"))
-                & (F.col("doc_id") <= F.col("last_docid")),
-                "left_semi",
+        # to gain, even if the two float sums disagree by an ulp); with
+        # fewer than k partials everyone is a candidate (θ' = −inf)
+        cand = (
+            partials.crossJoin(F.broadcast(kth2_df))
+            .filter(
+                (F.col("nk") < F.lit(k))
+                | (
+                    F.col("partial")
+                    + F.greatest(
+                        F.lit(total_gmax) - F.col("seen_gmax"), F.lit(0.0)
+                    )
+                    >= F.col("theta2") - F.lit(eps)
+                )
             )
-        ).select("term", "block_no")
-        extra_blocks = postings.join(F.broadcast(touching), ["term", "block_no"], "left_semi")
+            .select("doc_id", "partial")
+            .persist()
+        )
+        cand_ids_df = cand.select("doc_id")
+        # one broadcast range semi-join picks the pruned blocks any
+        # candidate falls into (block docid ranges make coverage cheap)
+        extra_blocks = pruned_all.join(
+            F.broadcast(cand_ids_df),
+            (F.col("doc_id") >= F.col("first_docid"))
+            & (F.col("doc_id") <= F.col("last_docid")),
+            "left_semi",
+        )
         extra = (
-            _score_decoded(extra_blocks, consts, params)
+            _score_decoded(extra_blocks, with_consts, params)
             .join(F.broadcast(cand_ids_df), "doc_id", "left_semi")
             .groupBy("doc_id")
             .agg(F.sum("s").alias("extra"))
@@ -257,41 +357,25 @@ def wand_topk(
 
 
 def _tier_cutoffs(
-    meta: DataFrame, survive_a, theta_eps: float
-) -> tuple[list[tuple[str, int]], int, int]:
-    """Choose the (term, tier) set to prune under rule B; also return
-    (blocks_total, blocks_pruned-after-both-rules) from the same single
-    aggregation job.
+    tier_rows: list[tuple[str, int, float, float, int]], theta_eps: float
+) -> list[tuple[str, int]]:
+    """Choose the (term, tier) set to prune under rule B, from the
+    already-collected (term, tier, supb, minb, cnt) table (≤ terms × tiers
+    rows — it rode the phase-1 collect, no extra job).
 
     Per term, the candidate cutoffs are suffixes of its impact tiers
     ordered by sup-bound descending, always keeping the top-bound tier
     (so every term's high-impact postings are seen and phase-3 candidate
-    bounds stay tight).  Enumerate the per-term combinations (driver-side;
-    the tier table is ≤ terms × tiers rows) and keep the one pruning the
-    most blocks subject to  Σ_t sup(pruned tiers of t) < θ − eps.
+    bounds stay tight).  Enumerate the per-term combinations (driver-side)
+    and keep the one pruning the most blocks subject to
+    Σ_t sup(pruned tiers of t) < θ − eps.
     Single-tier indexes (impact_tiers=1) yield no options → empty result.
     """
     import itertools
 
-    rows = (
-        meta.groupBy(
-            "term", F.shiftright(F.col("block_no"), TIER_SHIFT).alias("tier")
-        )
-        .agg(
-            F.max("bound").alias("supb"),
-            F.count("*").alias("cnt"),
-            F.sum(F.when(survive_a, 0).otherwise(1)).alias("a_pruned"),
-        )
-        .collect()
-    )
-    blocks_total = sum(int(r["cnt"]) for r in rows)
     per_term: dict[str, list] = {}
-    a_pruned_by_tier: dict[tuple[str, int], int] = {}
-    for r in rows:
-        per_term.setdefault(r["term"], []).append(
-            (int(r["tier"]), float(r["supb"]), int(r["cnt"]))
-        )
-        a_pruned_by_tier[(r["term"], int(r["tier"]))] = int(r["a_pruned"])
+    for t, tier, supb, _minb, cnt in tier_rows:
+        per_term.setdefault(t, []).append((tier, supb, cnt))
     opts = {}
     for t, lst in per_term.items():
         lst.sort(key=lambda x: -x[1])  # sup-bound descending
@@ -334,25 +418,16 @@ def _tier_cutoffs(
     if best_combo:
         for t, c in zip(terms_l, best_combo):
             out.extend((t, tier) for tier in c[0])
-    # blocks pruned by the UNION of the rules: whole tiers chosen by rule B
-    # count fully; surviving tiers contribute their rule-A-pruned blocks
-    b_tiers = set(out)
-    blocks_pruned = 0
-    for (t, tier), a_cnt in a_pruned_by_tier.items():
-        if (t, tier) in b_tiers:
-            for tt, supb, cnt in per_term[t]:
-                if tt == tier:
-                    blocks_pruned += cnt
-                    break
-        else:
-            blocks_pruned += a_cnt
-    return out, blocks_total, blocks_pruned
+    return out
 
 
-def _score_decoded(blocks: DataFrame, consts: DataFrame, params: BM25Params) -> DataFrame:
-    """Decode blocks → per-posting BM25 sumpart Column (bm25weight.cc:166-178)."""
+def _score_decoded(blocks: DataFrame, with_consts, params: BM25Params) -> DataFrame:
+    """Decode blocks → per-posting BM25 sumpart Column (bm25weight.cc:166-178).
+
+    ``with_consts`` re-attaches the per-term constants as literal CASE
+    columns (decode_blocks keeps only the core posting columns)."""
     p = params
-    dec = decode_blocks(blocks).join(F.broadcast(consts), "term")
+    dec = with_consts(decode_blocks(blocks))
     normlen = F.greatest(F.col("doc_len").cast("double") * F.col("lf"), F.lit(p.min_normlen))
     denom = F.lit(p.k1) * (normlen * F.lit(p.b) + F.lit(1 - p.b)) + F.col("wdf").cast("double")
     return dec.select(
