@@ -93,3 +93,27 @@ def test_mset_bounds_surface(spark, matcher):
     assert res.matches_estimated == res.matches
     assert res.max_attained is not None and res.max_possible is not None
     assert res.max_attained <= res.max_possible + 1e-12
+
+
+def test_synonym_percent_single_job(spark, matcher, oracle):
+    """Percent mode over a Synonym query with synonym_tf='exact' must not
+    run a plan-time count(): the merged termfreq rides the max_attained
+    aggregation (VERDICT r03 #3).  DataFrame.count is banned for the whole
+    call; results still match the oracle exactly."""
+    from pyspark.sql import DataFrame
+
+    q = Q.Synonym([Q.Term("binary_search"), Q.Term("merge_sort")])
+    want = oracle.mset_percent(q, 10)
+
+    real_count = DataFrame.count
+
+    def banned(self):
+        raise AssertionError("plan-time DataFrame.count() in percent path")
+
+    DataFrame.count = banned
+    try:
+        res = matcher.mset(q, maxitems=10, with_percent=True)
+        got = [(r["doc_id"], res.percents[r["doc_id"]]) for r in res.df.collect()]
+    finally:
+        DataFrame.count = real_count
+    assert got == [(d, p) for d, _, p in want]

@@ -270,9 +270,34 @@ class Matcher:
         max_attained = None
         if with_percent or percent_cutoff > 0:
             stats = self._term_stats(q.terms())
-            max_possible = self._max_possible(q, 1.0, stats)
-            agg = matched.agg(F.max("weight")).collect()[0][0]
+            # Synonym nodes under synonym_tf='exact' need the merged
+            # termfreq for their max_possible bound.  Fold those counts
+            # into the SAME aggregation job that computes max_attained
+            # (a union of 1-row aggregates) — zero plan-time jobs beyond
+            # the one percent mode already pays (VERDICT r03 #3; same
+            # single-job discipline as the scoring path's
+            # _synonym_scored_single_job).
+            reqs: set[tuple[str, ...]] = set()
+            self._collect_syn_tf_requests(q, stats, reqs)
+            req_list = sorted(reqs)
+            agg_u = matched.agg(F.max("weight").cast("double").alias("v")).select(
+                F.lit(-1).alias("i"), "v"
+            )
+            for idx, known in enumerate(req_list):
+                agg_u = agg_u.unionByName(
+                    self._decoded_for_terms(list(known))
+                    .agg(F.count_distinct("doc_id").cast("double").alias("v"))
+                    .select(F.lit(idx).alias("i"), "v")
+                )
+            rows = agg_u.collect()
+            syn_tf = {
+                req_list[int(r["i"])]: int(r["v"] or 0)
+                for r in rows
+                if r["i"] >= 0
+            }
+            agg = next((r["v"] for r in rows if r["i"] == -1), None)
             max_attained = float(agg) if agg is not None else 0.0
+            max_possible = self._max_possible(q, 1.0, stats, syn_tf=syn_tf)
             # mset.cc:444 — max_possible = max(max_possible, max_attained)
             max_possible = max(max_possible, max_attained)
         if weight_cutoff > 0.0:
@@ -323,7 +348,28 @@ class Matcher:
             }
         return res
 
-    def _max_possible(self, q: Q.Query, factor: float, stats: dict) -> float:
+    def _collect_syn_tf_requests(
+        self, q: Q.Query, stats: dict, out: set[tuple[str, ...]]
+    ) -> None:
+        """Gather the known-term sets of Synonym nodes whose exact merged
+        termfreq _max_possible will need, so the caller can batch the
+        counts into an existing aggregation job (keyed by term set — tf
+        depends on nothing else)."""
+        if isinstance(q, Q.Synonym) and self.synonym_tf != "estimate":
+            known = tuple(t for t in dict.fromkeys(q.terms()) if t in stats)
+            if known:
+                out.add(known)
+            return
+        for c in getattr(q, "children", []):
+            self._collect_syn_tf_requests(c, stats, out)
+        for name in ("left", "right", "subquery"):
+            c = getattr(q, name, None)
+            if isinstance(c, Q.Query):
+                self._collect_syn_tf_requests(c, stats, out)
+
+    def _max_possible(
+        self, q: Q.Query, factor: float, stats: dict, syn_tf: dict | None = None
+    ) -> float:
         """Tree maxweight ≈ PostListTree::recalc_maxweight
         (matcher/postlisttree.h:131-190)."""
         dlb = self.index.stats["doclen_lower_bound"]
@@ -332,27 +378,32 @@ class Matcher:
             ts = stats.get(q.term)
             return w.maxpart(ts[2], dlb) if w and ts else 0.0
         if isinstance(q, (Q.Or, Q.And, Q.Xor, Q.Phrase, Q.Near)):
-            return sum(self._max_possible(c, factor, stats) for c in q.children)
+            return sum(self._max_possible(c, factor, stats, syn_tf) for c in q.children)
         if isinstance(q, (Q.AndNot, Q.Filter)):
-            return self._max_possible(q.left, factor, stats)
+            return self._max_possible(q.left, factor, stats, syn_tf)
         if isinstance(q, Q.AndMaybe):
-            return self._max_possible(q.left, factor, stats) + self._max_possible(
-                q.right, factor, stats
-            )
+            return self._max_possible(
+                q.left, factor, stats, syn_tf
+            ) + self._max_possible(q.right, factor, stats, syn_tf)
         if isinstance(q, Q.MaxOp):
             return max(
-                (self._max_possible(c, factor, stats) for c in q.children),
+                (self._max_possible(c, factor, stats, syn_tf) for c in q.children),
                 default=0.0,
             )
         if isinstance(q, Q.ScaleWeight):
-            return self._max_possible(q.subquery, factor * q.factor, stats)
+            return self._max_possible(q.subquery, factor * q.factor, stats, syn_tf)
         if isinstance(q, Q.Synonym):
             known = [t for t in dict.fromkeys(q.terms()) if t in stats]
             if not known:
                 return 0.0
             if self.synonym_tf == "estimate":
                 tf = self._synonym_tf_estimate(known, stats)
+            elif syn_tf is not None and tuple(known) in syn_tf:
+                # exact tf pre-computed inside the caller's aggregation job
+                tf = syn_tf[tuple(known)]
             else:
+                # direct callers without a batched job: one count (the
+                # mset percent path never reaches here)
                 tf = self._decoded_for_terms(known).select("doc_id").distinct().count()
             if tf == 0:
                 return 0.0
