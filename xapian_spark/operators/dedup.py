@@ -50,16 +50,50 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 
 
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", w: int = 3) -> DataFrame:
-    """Distinct w-token shingles per doc: (doc_id, shingle)."""
-    toks = tokens_col(text_col)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - w, F.lit(-1))),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(w)]),
-    )
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    """Distinct w-token shingles per doc: (doc_id, shingle).
+
+    One Arrow ``mapInPandas`` pass, like winnow/lang_id: the v1
+    interpreted-HOF pipeline (sequence → transform → element_at×w per
+    shingle) re-evaluated the token split per element and cost ~30× the
+    kernel at 320k docs (127 s vs ~4 s, bench soak), and its short-doc
+    guard ``sequence(0, greatest(size-w, -1))`` emitted the DESCENDING
+    sequence [0, -1] — Spark's sequence auto-steps downward — crashing
+    element_at under ANSI mode on sub-``w``-token docs.  The kernel
+    tokenizes once per row (ASCII ``\\s+`` split + lower, identical to
+    the Column tokenizer), emits the per-doc DISTINCT shingle set, and
+    docs with fewer than ``w`` tokens yield nothing.  Output strings are
+    byte-identical to v1, so every downstream md5 (minhash / LSH /
+    simhash oracles) is unchanged."""
+    import re
+
+    import pandas as pd
+
+    split_re = re.compile(r"\s+", re.ASCII)
+
+    def kernel(batches):
+        for pdf in batches:
+            out_ids, out_sh = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in split_re.split((text or "").lower()) if t]
+                if len(toks) < w:
+                    continue
+                seen = set()
+                for i in range(len(toks) - w + 1):
+                    s = " ".join(toks[i : i + w])
+                    if s not in seen:
+                        seen.add(s)
+                        out_ids.append(did)
+                        out_sh.append(s)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype="int64"),
+                    "shingle": pd.Series(out_sh, dtype=object),
+                }
+            )
+
+    return docs.select(
+        F.col(id_col).alias(id_col), F.col(text_col)
+    ).mapInPandas(kernel, "doc_id long, shingle string")
 
 
 def winnow_fingerprints(
