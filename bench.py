@@ -189,7 +189,148 @@ HEADLINE = [
 ]
 
 
-def full(cpus: int, sf_dir: str, scale_docs: int, do_scaling: bool) -> dict:
+def _synth_embeddings(spark, n: int, dim: int = 64, clusters: int = 1000):
+    """Deterministic clustered embeddings, generated DISTRIBUTED: hash-mixed
+    cluster base vector + per-row jitter (near-dup structure for LSH)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    dims = None
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        d = np.arange(dim, dtype=np.int64)
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            if not len(ids):
+                continue
+            c = ids % clusters
+
+            def mix(x, salt):
+                v = (x[:, None] * 2654435761 + d[None, :] * 40503 + salt) % (1 << 31)
+                return v / float(1 << 31) * 2.0 - 1.0
+
+            mat = mix(c, 7) + 0.15 * mix(ids, 13)
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": [row.tolist() for row in mat]}
+            )
+
+    return (
+        spark.range(n)
+        .select(F.col("id").alias("vec_id"))
+        .mapInPandas(gen, "vec_id long, embedding array<double>")
+    )
+
+
+def pipeline_scale(spark, n_docs: int, emb_docs: int) -> dict:
+    """Scale soak for the LLM-pipeline operators (VERDICT r03 #8): run
+    minhash / jaccard / winnow / ann_lsh / embedding_near_dups once at
+    ``n_docs`` synthetic docs (+ ``emb_docs`` synthetic embeddings) and
+    record latency + cap/prune telemetry.  Caps (max_bucket_size /
+    max_shingle_df) are ON — the soak exercises exactly the degenerate-key
+    safety valves the 100 TB path depends on."""
+    from pyspark.sql import functions as F
+
+    from xapian_spark.operators.dedup import (
+        band_bucket_sizes,
+        minhash_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shingles,
+        winnow_fingerprints,
+    )
+    from xapian_spark.operators.similarity import (
+        AnnLshIndex,
+        embedding_near_dups,
+        lsh_bucket_sizes,
+    )
+    from xapian_spark.sources.corpus import corpus_df
+
+    out: dict = {"docs": n_docs, "emb_docs": emb_docs}
+    docs = (
+        corpus_df(spark, n_docs, n_partitions=64)
+        .select("doc_id", F.col("content").alias("text"))
+        .persist()
+    )
+    docs.count()
+
+    t0 = time.perf_counter()
+    sh = shingles(docs, w=3).persist()
+    n_sh = sh.count()
+    out["shingles"] = {"seconds": round(time.perf_counter() - t0, 1), "rows": n_sh}
+
+    cap = 200
+    t0 = time.perf_counter()
+    sig = minhash_signatures(sh)
+    n_pairs = minhash_candidate_pairs(sig, bands=2, max_bucket_size=cap).count()
+    sec = time.perf_counter() - t0
+    dropped = (
+        band_bucket_sizes(sig, bands=2)
+        .filter(F.col("m") > cap)
+        .count()
+    )
+    out["minhash_lsh"] = {
+        "seconds": round(sec, 1),
+        "pairs": n_pairs,
+        "max_bucket_size": cap,
+        "buckets_dropped": dropped,
+    }
+
+    df_cap = 100
+    t0 = time.perf_counter()
+    n_j = ngram_jaccard_pairs(sh, threshold=0.8, max_shingle_df=df_cap).count()
+    out["shingle_jaccard"] = {
+        "seconds": round(time.perf_counter() - t0, 1),
+        "pairs": n_j,
+        "max_shingle_df": df_cap,
+    }
+
+    t0 = time.perf_counter()
+    n_w = winnow_fingerprints(docs).count()
+    out["winnow"] = {"seconds": round(time.perf_counter() - t0, 1), "rows": n_w}
+    sh.unpersist()
+    docs.unpersist()
+
+    emb = _synth_embeddings(spark, emb_docs).persist()
+    emb.count()
+    t0 = time.perf_counter()
+    ix = AnnLshIndex(emb, dim=64, n_planes=16, bands=4, signature_impl="arrow")
+    out["ann_lsh_build"] = {
+        "seconds": round(time.perf_counter() - t0, 1),
+        "buckets": ix.buckets.count(),
+    }
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    t0 = time.perf_counter()
+    ix.query(qvec, k=10).collect()
+    out["ann_lsh_query"] = {"seconds": round(time.perf_counter() - t0, 1)}
+
+    nd_cap = 1000
+    t0 = time.perf_counter()
+    n_nd = embedding_near_dups(ix, threshold=0.9, max_bucket_size=nd_cap).count()
+    sec = time.perf_counter() - t0
+    nd_dropped = lsh_bucket_sizes(ix).filter(F.col("m") > nd_cap).count()
+    out["embedding_near_dups"] = {
+        "seconds": round(sec, 1),
+        "pairs": n_nd,
+        "max_bucket_size": nd_cap,
+        "buckets_dropped": nd_dropped,
+    }
+    ix.unpersist()
+    emb.unpersist()
+    return out
+
+
+def full(
+    cpus: int,
+    sf_dir: str,
+    scale_docs: int,
+    do_scaling: bool,
+    pipeline_docs: int = 0,
+    pipeline_emb_docs: int = 0,
+) -> dict:
     t_start = time.perf_counter()
     spark = _mk_spark(cpus)
 
@@ -226,6 +367,9 @@ def full(cpus: int, sf_dir: str, scale_docs: int, do_scaling: bool) -> dict:
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 3)
+    pipe = None
+    if pipeline_docs > 0:
+        pipe = pipeline_scale(spark, pipeline_docs, pipeline_emb_docs)
     spark.stop()
 
     result = {
@@ -244,6 +388,8 @@ def full(cpus: int, sf_dir: str, scale_docs: int, do_scaling: bool) -> dict:
     # 3) two-parallelism scaling (same input; 2 vs 8 cores = N vs 4N with
     # neither leg into SMT territory on this 32-physical-core box — see
     # BENCH/BASELINE.md for methodology + per-busy-core normalization)
+    if pipe is not None:
+        result["pipeline_scale"] = pipe
     if do_scaling:
         result["scaling"] = _scaling(scale_docs)
 
@@ -455,6 +601,17 @@ def main():
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
     ap.add_argument("--scale-docs", type=int, default=160000)
+    ap.add_argument(
+        "--pipeline-docs",
+        type=int,
+        default=int(os.environ.get("SPARK_GRAFT_PIPELINE_DOCS", "1280000")),
+        help="doc count for the pipeline-operator scale soak (0 disables)",
+    )
+    ap.add_argument(
+        "--pipeline-emb-docs",
+        type=int,
+        default=int(os.environ.get("SPARK_GRAFT_PIPELINE_EMB_DOCS", "320000")),
+    )
     args = ap.parse_args()
 
     if args.build_only:
@@ -462,7 +619,14 @@ def main():
         return
 
     do_scaling = os.environ.get("SPARK_GRAFT_NO_SCALING", "") != "1"
-    res = full(args.cpus, args.sf_dir, args.scale_docs, do_scaling)
+    res = full(
+        args.cpus,
+        args.sf_dir,
+        args.scale_docs,
+        do_scaling,
+        pipeline_docs=args.pipeline_docs,
+        pipeline_emb_docs=args.pipeline_emb_docs,
+    )
     print(json.dumps(res))
 
 

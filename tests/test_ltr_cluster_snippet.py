@@ -144,3 +144,36 @@ def test_listmle_learns_and_leaves_last_param(spark):
     assert w[0] > 0
     # reference quirk mirrored: gradient loops exclude the last feature
     assert w[2] == 0.0
+
+
+def test_snippet_edge_rules():
+    """SnipPipe drain edge semantics (termgenerator_internal.cc:611-730):
+    sentence-boundary ellipsis, trailing sentence punctuation, XML escape."""
+    from xapian_spark.functions.snippet import make_snippet
+
+    from xapian_spark.functions.snippet import _is_sentence_start
+
+    # whole text fits → zero-weight words extend the window (pump's >=),
+    # no omit markers at either edge
+    assert make_snippet("needle in a stack", ["needle"], length=200) == (
+        "<b>needle</b> in a stack"
+    )
+    # mid-text window → leading omit; mid-sentence cut → trailing omit
+    long_head = "word " * 60
+    s2 = make_snippet(long_head.rstrip() + " needle here", ["needle"], length=20)
+    assert s2.startswith("...")
+    s4 = make_snippet("the needle sits here" + " filler" * 60, ["needle"], length=25)
+    assert s4.endswith("...")
+    # sentence-ending punctuation stays attached inside the window
+    s3 = make_snippet("the needle sits." + " filler" * 60, ["sits"], length=40)
+    assert "sits." in s3
+    # drain's sentence_boundary scan: start-of-text and after ". " are
+    # sentence starts; mid-sentence is not
+    assert _is_sentence_start("a. b", 0)
+    assert _is_sentence_start("end. next", 5)
+    assert not _is_sentence_start("plain words", 6)
+    # document ending right at the window end → no trailing omit
+    assert not make_snippet("find the needle", ["needle"], length=200).endswith("...")
+    # XML escaping like append_escaping_xml
+    s5 = make_snippet("a < b & c > d needle", ["needle"], length=200)
+    assert "&lt;" in s5 and "&amp;" in s5 and "&gt;" in s5

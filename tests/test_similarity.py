@@ -223,3 +223,17 @@ def test_lloyd_kmeans_matches_pure_python(emb):
     }
     assert got == a
     assert len(set(a.values())) > 1  # fixture actually separates clusters
+
+
+def test_arrow_signatures_match_hof(emb):
+    """The BLAS build path produces the same buckets as the HOF path on
+    this fixture (sign flips require dots within round-off of zero)."""
+    from xapian_spark.operators.similarity import AnnLshIndex
+
+    hof = AnnLshIndex(emb, dim=16, n_planes=16, bands=4, persist=False)
+    arr = AnnLshIndex(
+        emb, dim=16, n_planes=16, bands=4, persist=False, signature_impl="arrow"
+    )
+    b1 = {(r["vec_id"], r["band"], r["bucket_key"]) for r in hof.buckets.collect()}
+    b2 = {(r["vec_id"], r["band"], r["bucket_key"]) for r in arr.buckets.collect()}
+    assert b1 == b2

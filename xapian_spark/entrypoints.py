@@ -1419,10 +1419,19 @@ def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (termgenerator_internal.cc SnipPipe; string rendering is pytest-pinned
     via make_snippet on the SAME selection)."""
     from .functions.snippet import snippet_windows_for_mset
+    from .operators.dedup import tokens_col
 
     m = get_matcher(spark, sf_dir)
     top = _topk(m, Q.Or([Q.Term("hash"), Q.Term("join")]), 5).select("doc_id")
-    docs = _documents(spark, sf_dir).selectExpr("doc_id", "text as content")
+    # The oracle computes span offsets in the single-space-joined token
+    # reconstruction (cumulative length(term)+1).  Run the engine's sweep
+    # over EXACTLY that normalization so anchor parity holds by
+    # construction on ANY corpus — not by the whitespace-clean invariant
+    # the raw text happens to satisfy (ADVICE r03).  Raw-text offsets
+    # remain the behavior of make_snippet / snippets_for_mset.
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", F.concat_ws(" ", tokens_col("text")).alias("content")
+    )
     return snippet_windows_for_mset(
         spark, top, docs, ["hash", "join"], length=_SNIP_LEN, mode="simple"
     )

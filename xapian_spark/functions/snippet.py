@@ -6,15 +6,31 @@ document text, bolds matching terms and adds ellipses.  This is a
 driver-side presentation feature applied only to the final top-k rows, so
 it runs as a small pandas UDF over ≤ k documents — never in the match path.
 
-Semantics implemented (simplified but deterministic, divergences noted):
+Semantics implemented (deterministic; remaining divergences listed below):
 - the window is chosen to maximize Σ relevance of query terms inside it,
   where relevance = the per-term BM25 termweight when supplied (the
   reference uses the same idea: snippets favor rare terms), else 1;
-- matching terms are wrapped in hi_start/hi_end; non-edge truncation adds
-  ``omit`` markers (defaults <b>, </b>, ... — mset.h:343-356);
-- term matching uses the SAME tokenizer as indexing, so ``c++`` or
-  ``don't`` highlight correctly.
-- flag behaviors (BACKGROUND_MODEL, EXHAUSTIVE) are not reproduced.
+- the rendered window is END-anchored like SnipPipe (the window extends
+  BACKWARD ≈ length+1 chars from the end of its last term — pump()'s
+  eviction loop, termgenerator_internal.cc:470-486), then trimmed
+  forward to the first word start;
+- drain()'s edge rules (termgenerator_internal.cc:611-730): a leading
+  ``omit`` only when the window does NOT start at a sentence boundary
+  (start of text, or sentence-ending punctuation + whitespace before
+  it); leading/trailing punctuation that carries meaning (quotes,
+  currency, ``#%&'+-/<@\\`~`` …) is kept, capped at 4 chars; a window
+  ending at end-of-sentence punctuation keeps it and gets no trailing
+  ``omit``;
+- output is XML-escaped (&, <, >) like append_escaping_xml;
+- matching terms are wrapped in hi_start/hi_end (defaults <b>, </b>,
+  ... — mset.h:343-356); term matching uses the SAME tokenizer as
+  indexing, so ``c++`` or ``don't`` highlight correctly.
+
+Remaining divergences from SnipPipe: no DECAY=2.0 re-visit damping or
+phrase-relevance pegging (pump():443-470); the sweep is exhaustive (the
+reference's non-EXHAUSTIVE mode may stop early, :505-511); highlights
+wrap the whole whitespace-run rather than just its word chars;
+BACKGROUND_MODEL relevance defaults are not reproduced.
 """
 
 from __future__ import annotations
@@ -50,16 +66,18 @@ def select_window(
     """The snippet's window SELECTION step, isolated so it has a
     deterministic oracle (the driver's snippets entry checks exactly this):
     two-pointer sweep maximizing Σ relevance of term spans inside a
-    ``length``-char window.  Returns (best_total, anchor_char) — anchor is
-    the char offset of the first span in the winning window; ties keep the
-    earliest window.  None when no term occurs."""
+    ``length``-char window.  Returns (best_total, anchor_char, end_char) —
+    anchor is the char offset of the first span in the winning window,
+    end_char the end offset of its last span (the SnipPipe window is
+    END-anchored); ties keep the earliest window.  None when no term
+    occurs."""
     if not isinstance(terms, dict):
         terms = {t: 1.0 for t in terms}
     tok = xapian_tokenize if mode == "xapian" else simple_tokenize
     spans = term_spans(text, terms, tok)
     if not spans:
         return None
-    best = (0.0, spans[0][0])
+    best = (0.0, spans[0][0], spans[0][1])
     total = 0.0
     start_idx = 0
     for i, (s, e, rel) in enumerate(spans):
@@ -69,8 +87,34 @@ def select_window(
             start_idx += 1
         anchor = spans[start_idx][0]
         if total > best[0]:
-            best = (total, anchor)
+            best = (total, anchor, e)
     return best
+
+
+# Meaning-carrying punctuation kept at snippet edges
+# (snippet_check_leading_nonwordchar / _trailing_nonwordchar,
+# termgenerator_internal.cc:530-587; ASCII subset + the common Unicode
+# open/close/quote marks)
+_LEAD_PUNC = set("\"#%&'+-/<@\\`~$([{¡§¿“‘«")
+_TRAIL_PUNC = set("\"%'+-/>@\\`~$)]}”’»")
+_SENT_END = set(".?!")
+_WORDCHAR_RX = re.compile(r"\w", re.UNICODE)
+
+
+def _xml_escape(s: str) -> str:
+    """append_escaping_xml (termgenerator_internal.cc:589-608)."""
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _is_sentence_start(text: str, pos: int) -> bool:
+    """drain()'s sentence_boundary scan (termgenerator_internal.cc:668-695):
+    position 0, or sentence-ending punctuation then whitespace before it."""
+    if pos == 0:
+        return True
+    i = pos - 1
+    while i >= 0 and text[i].isspace():
+        i -= 1
+    return i >= 0 and text[i] in _SENT_END
 
 
 def make_snippet(
@@ -82,28 +126,106 @@ def make_snippet(
     omit: str = "...",
     mode: str = "xapian",
 ) -> str:
-    """Best-window snippet with highlights."""
+    """Best-window snippet with highlights — SnipPipe edge semantics (see
+    module docstring for the rule list and remaining divergences)."""
     if not isinstance(terms, dict):
         terms = {t: 1.0 for t in terms}
     if not text:
         return ""
     tok = xapian_tokenize if mode == "xapian" else simple_tokenize
 
-    best = select_window(text, terms, length=length, mode=mode)
-    if best is None:
+    if select_window(text, terms, length=length, mode=mode) is None:
         # no matches: lead of the document
         if len(text) <= length:
-            return text
-        return text[:length].rsplit(" ", 1)[0] + omit
+            return _xml_escape(text)
+        return _xml_escape(text[:length].rsplit(" ", 1)[0]) + omit
 
-    wstart = max(0, best[1] - 10)
-    wend = min(len(text), wstart + length)
-    # align to whitespace
-    if wstart > 0:
-        nxt = text.find(" ", wstart)
-        if 0 <= nxt < wend:
-            wstart = nxt + 1
-    window = text[wstart:wend]
+    # Full pump (SnipPipe::pump, termgenerator_internal.cc:443-511, minus
+    # DECAY/phrase pegging/early exit): EVERY word flows through the
+    # window, zero-weight words extend the best window (`sum >= best_sum`
+    # — "we don't extend a snippet over terms with 0 weight" is exactly
+    # why the reference compares >=), evictions keep end − begin ≤
+    # length+1 (the +1 allows the inter-word space, :427-428).
+    words = []  # (start, term_end, rel)
+    for m in re.finditer(r"\S+", text):
+        run = m.group()
+        rel = 0.0
+        for t in tok(run):
+            r = terms.get(t)
+            if r is not None:
+                rel = r
+                break
+        # term_end excludes trailing sentence/clause punctuation (the
+        # reference's term_end stops at the term's last word char)
+        e = m.end()
+        while e > m.start() + 1 and text[e - 1] in ".?!,;:":
+            e -= 1
+        words.append((m.start(), e, rel))
+    from collections import deque
+
+    pipe: deque = deque()
+    begin = 0
+    cur = 0.0
+    best_sum, best_begin, best_end = 0.0, 0, 0
+    for s, e, rel in words:
+        pipe.append((s, e, rel))
+        cur += rel
+        while e - begin > length + 1:
+            ws, we, wr = pipe.popleft()
+            cur -= wr
+            begin = we
+            if not pipe:
+                break
+        if cur >= best_sum:
+            best_sum, best_begin, best_end = cur, begin, e
+    wend = best_end
+    wstart = best_begin
+
+    # trim forward to the first word start, keeping ≤4 chars of
+    # meaning-carrying leading punctuation (drain():697-716)
+    scan = wstart
+    word_start = None
+    while scan < wend:
+        ch = text[scan]
+        if _WORDCHAR_RX.match(ch):
+            word_start = scan
+            break
+        scan += 1
+        if ch not in _LEAD_PUNC:
+            wstart = scan
+    if word_start is not None and word_start - wstart > 4:
+        wstart = word_start
+
+    # trailing edge (drain():621-664): keep end-of-sentence punctuation
+    # (no omit), else ≤4 chars of meaning-carrying punctuation, else omit
+    tail_omit = False
+    tend = wend
+    if wend < len(text):
+        i = wend
+        sentence_end = False
+        while i < len(text):
+            ch = text[i]
+            if sentence_end and ch.isspace():
+                break
+            sentence_end = ch in _SENT_END
+            if _WORDCHAR_RX.match(ch):
+                break
+            i += 1
+        if sentence_end:
+            tend = i
+        else:
+            j = wend
+            kept = 0
+            while j < len(text) and text[j] in _TRAIL_PUNC:
+                kept += 1
+                if kept > 4:
+                    kept = 0
+                    break
+                j += 1
+            if kept:
+                tend = j
+            tail_omit = tend < len(text)
+    window = text[wstart:tend]
 
     # highlight matches inside the window
     out = []
@@ -111,14 +233,14 @@ def make_snippet(
     for m in re.finditer(r"\S+", window):
         toks = tok(m.group())
         if any(t in terms for t in toks):
-            out.append(window[last : m.start()])
-            out.append(hi_start + m.group() + hi_end)
+            out.append(_xml_escape(window[last : m.start()]))
+            out.append(hi_start + _xml_escape(m.group()) + hi_end)
             last = m.end()
-    out.append(window[last:])
+    out.append(_xml_escape(window[last:]))
     snip = "".join(out)
-    if wstart > 0:
+    if not _is_sentence_start(text, wstart):
         snip = omit + snip
-    if wend < len(text):
+    if tail_omit:
         snip = snip + omit
     return snip
 
