@@ -100,3 +100,37 @@ def test_token_counts_bpe_vs_ws(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"]) for r in token_counts(df).collect()}
     assert got == {1: (3, 5), 2: (2, 9), 3: (2, 2), 4: (0, 0)}
+
+
+def test_minhash_xxhash_impl_finds_same_dup_pairs(spark):
+    """hash_impl='xxhash64' (the 100 TB form) must find every pair the md5
+    form finds on docs with IDENTICAL shingle sets (same set → same min →
+    same bucket, for any hash family), with long signature columns."""
+    from xapian_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    base = "binary search over a sorted array of keys with low and high"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + " plus one tail token appended here"),
+        (4, "completely different text about stream processing windows"),
+        (5, "completely different text about stream processing windows"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingles(docs, w=3).persist()
+    p_md5 = {
+        (r["d1"], r["d2"])
+        for r in minhash_candidate_pairs(minhash_signatures(sh)).collect()
+    }
+    sig_xx = minhash_signatures(sh, hash_impl="xxhash64")
+    assert all(f.dataType.simpleString() == "bigint" for f in sig_xx.schema.fields[1:])
+    p_xx = {
+        (r["d1"], r["d2"]) for r in minhash_candidate_pairs(sig_xx).collect()
+    }
+    sh.unpersist()
+    assert (1, 2) in p_md5 and (4, 5) in p_md5
+    assert (1, 2) in p_xx and (4, 5) in p_xx

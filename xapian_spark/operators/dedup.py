@@ -176,12 +176,32 @@ def winnow_fingerprints(
     )
 
 
-def minhash_signatures(sh: DataFrame, n_hashes: int = 8) -> DataFrame:
-    """(doc_id, h1..hN): per-seed min of md5('{seed}:'||shingle)."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
-        for s in range(1, n_hashes + 1)
-    ]
+def minhash_signatures(
+    sh: DataFrame, n_hashes: int = 8, hash_impl: str = "md5"
+) -> DataFrame:
+    """(doc_id, h1..hN): per-seed min of hash('{seed}:'||shingle).
+
+    ``hash_impl='md5'`` (default) is the oracle-reproducible form — DuckDB
+    computes the identical hex strings.  ``'xxhash64'`` is the 100 TB
+    form: Spark's built-in 64-bit hash is ~4× cheaper per call than md5
+    and the signature columns become longs; banding/candidate-pair logic
+    is identical (minhash only needs a uniform keyed hash family, the
+    family itself is arbitrary).  Use it whenever the signature VALUES
+    aren't being compared against another engine."""
+    if hash_impl == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(
+                f"h{s}"
+            )
+            for s in range(1, n_hashes + 1)
+        ]
+    elif hash_impl == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
+            for s in range(1, n_hashes + 1)
+        ]
+    else:
+        raise ValueError("hash_impl must be 'md5' or 'xxhash64'")
     return sh.groupBy("doc_id").agg(*aggs)
 
 
