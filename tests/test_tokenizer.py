@@ -160,3 +160,60 @@ def test_ngram_query_parser_end_to_end(spark):
     q2 = p.parse_query("engine 索引")
     got2 = {r["doc_id"] for r in m.matches(q2).collect()}
     assert 2 in got2
+
+
+def test_wordbreak_tokenize_mixed():
+    """FLAG_WORD_BREAKS analog: greedy longest-match segmentation of
+    unbroken-script spans against an injectable lexicon (word-breaker.cc
+    WordIterator semantics; single-char fallback keeps it total)."""
+    from xapian_spark.functions.tokenizer import wordbreak_tokenize_mixed
+
+    lex = frozenset(["我们", "喜欢", "搜索引擎", "搜索"])
+    # longest match wins: 搜索引擎 (4) beats 搜索 (2)
+    assert wordbreak_tokenize_mixed("我们喜欢搜索引擎", lex) == [
+        "我们", "喜欢", "搜索引擎",
+    ]
+    # mixed script: latin text tokenizes like xapian_tokenize
+    assert wordbreak_tokenize_mixed("我们 use C++", lex) == ["我们", "use", "c++"]
+    # unmatched codepoints fall back to single-char words
+    assert wordbreak_tokenize_mixed("你好", lex) == ["你", "好"]
+    # empty lexicon → all single chars (still deterministic/total)
+    assert wordbreak_tokenize_mixed("我们", frozenset()) == ["我", "们"]
+
+
+def test_word_breaks_end_to_end(spark):
+    """Index with word_breaks=lexicon, query through
+    QueryParser(word_breaks=...) — the segmented words must match
+    positionally-indexed docs (termgenerator_internal.cc:149-162 index
+    side + as_unbroken_query's OP_AND query side)."""
+    from xapian_spark.operators.indexer import build_index
+    from xapian_spark.operators.matcher import Matcher
+    from xapian_spark.plans.parser import QueryParser
+    from xapian_spark.plans import query as Q
+
+    lex = frozenset(["我们", "喜欢", "搜索引擎"])
+    rows = [
+        (1, "我们喜欢搜索引擎 ranking"),
+        (2, "plain english document about ranking"),
+        (3, "我们不喜欢 bugs"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ix = build_index(
+        spark, docs, id_col="doc_id", content_col="text", word_breaks=lex
+    )
+    m = Matcher(spark, ix)
+    p = QueryParser(word_breaks=lex)
+    q = p.parse_query("搜索引擎")
+    assert isinstance(q, Q.Term) and q.term == "搜索引擎"
+    got = {r["doc_id"] for r in m.mset_df(q, 10).collect()}
+    assert got == {1}
+    # multi-word span → AND of segmented words
+    q2 = p.parse_query("我们喜欢")
+    assert isinstance(q2, Q.And)
+    assert {c.term for c in q2.children} == {"我们", "喜欢"}
+    # doc 3 ("我们不喜欢 bugs") also holds both words — AND semantics,
+    # not phrase (the reference combines ICU words with OP_AND)
+    got2 = {r["doc_id"] for r in m.mset_df(q2, 10).collect()}
+    assert got2 == {1, 3}
+    # word present in doc 1 and (as single chars) nowhere else
+    assert {r["doc_id"] for r in m.mset_df(p.parse_query("ranking"), 10).collect()} == {1, 2}

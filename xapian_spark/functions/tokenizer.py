@@ -346,3 +346,51 @@ def ngram_tokenize_mixed(text: str) -> list[tuple[str, bool]]:
                 out.append((t, True))
             i = j
     return out
+
+
+def wordbreak_tokenize_mixed(
+    text: str, lexicon: frozenset[str] | set[str]
+) -> list[str]:
+    """FLAG_WORD_BREAKS analog (word-breaker.cc WordIterator /
+    get_icu_words, driven from termgenerator_internal.cc:149-162):
+    unbroken-script spans are segmented into WORDS — every one positional,
+    unlike FLAG_NGRAMS' positionless bigrams — and all other text
+    tokenizes exactly like xapian_tokenize.
+
+    ICU is not available in this environment, so segmentation is greedy
+    longest-match ("maximum matching") against an injectable ``lexicon``
+    of words — the same dictionary-driven scheme ICU's CJK BreakIterator
+    uses, with the dictionary as the injection point (the multimodal
+    decoder-hook pattern).  Codepoints starting no lexicon word fall back
+    to single-character words, so segmentation is total and deterministic
+    for any lexicon including the empty one.
+    """
+    out: list[str] = []
+    max_len = max((len(w) for w in lexicon), default=1)
+    n = len(text)
+    i = 0
+    while i < n:
+        if _is_unbroken_wordchar(text[i]):
+            j = i
+            while j < n and _is_unbroken_wordchar(text[j]):
+                j += 1
+            span = text[i:j]
+            k = 0
+            while k < len(span):
+                match = None
+                for L in range(min(max_len, len(span) - k), 1, -1):
+                    if span[k : k + L] in lexicon:
+                        match = span[k : k + L]
+                        break
+                if match is None:
+                    match = span[k]  # single-char fallback
+                out.append(match)
+                k += len(match)
+            i = j
+        else:
+            j = i
+            while j < n and not _is_unbroken_wordchar(text[j]):
+                j += 1
+            out.extend(xapian_tokenize(text[i:j]))
+            i = j
+    return out

@@ -186,6 +186,7 @@ def invert_corpus(
     boolean_fields: dict[str, str] | None = None,
     ngrams: bool = False,
     stem_col: str | None = None,
+    word_breaks: frozenset[str] | None = None,
 ) -> DataFrame:
     """Corpus → flat postings (doc_id, term, wdf, positions).
 
@@ -217,6 +218,15 @@ def invert_corpus(
     unbroken-script spans index as unigrams (positional) + bigrams
     (positionless add_term postings whose wdf counts toward doc_len, like
     the reference's action); stemming is never applied to ngram tokens.
+
+    ``word_breaks``: FLAG_WORD_BREAKS analog
+    (termgenerator_internal.cc:149-162, word-breaker.cc WordIterator) —
+    unbroken-script spans are segmented into WORDS via greedy
+    longest-match against this lexicon (ICU's dictionary BreakIterator
+    scheme with the dictionary injectable; single-char fallback), every
+    word positional; other text tokenizes normally.  Like ``ngrams``,
+    stemming is not applied in this mode.  Mutually exclusive with
+    ``ngrams``.
 
     ``stem_col``: per-document stemming — the stemmer is chosen per row
     from this column's value (ISO code or Snowball name), mirroring the
@@ -255,6 +265,20 @@ def invert_corpus(
     )
 
     enc = _encode_poslist if with_positions else None
+
+    if ngrams and word_breaks is not None:
+        raise ValueError("ngrams and word_breaks are mutually exclusive")
+    if word_breaks is not None:
+        from ..functions.tokenizer import wordbreak_tokenize_mixed
+
+        wb_lex = frozenset(word_breaks)
+        wb_stop = frozenset(stopwords) if stopwords else None
+
+        def tok_wb(text: str) -> list[str]:
+            toks = wordbreak_tokenize_mixed(text, wb_lex)
+            if wb_stop:
+                toks = [t for t in toks if t not in wb_stop]
+            return toks
 
     if ngrams:
         from ..functions.tokenizer import ngram_tokenize_mixed
@@ -358,6 +382,8 @@ def invert_corpus(
                     continue
                 if ngrams:
                     acc, dlen = _invert_doc_ngram(tok_mixed(text))
+                elif word_breaks is not None:
+                    acc, dlen = _invert_doc(tok_wb(text))
                 elif langs is not None:
                     acc, dlen = _invert_doc(tok(text), _stemmer_for(langs[r]))
                 else:
@@ -518,6 +544,7 @@ def build_index(
     boolean_fields: dict[str, str] | None = None,
     ngrams: bool = False,
     stem_col: str | None = None,
+    word_breaks: frozenset[str] | None = None,
     impact_tiers: int = 1,
 ) -> IndexTables:
     """Build docs/dictionary/postings/stats from a corpus DataFrame.
@@ -546,6 +573,7 @@ def build_index(
             corpus, id_col, content_col, mode, with_positions,
             stopwords=stopwords, stem=stem, stem_strategy=stem_strategy,
             boolean_fields=boolean_fields, ngrams=ngrams, stem_col=stem_col,
+            word_breaks=word_breaks,
         )
     # Persist: consumed by doclens, dictionary and blocks.
     flat = flat.persist()

@@ -9,9 +9,12 @@ FLAG_BOOLEAN_ANY_CASE (lowercase operators), FLAG_PURE_NOT (``NOT x`` →
 wildcard), FLAG_SPELLING_CORRECTION, FLAG_SYNONYM / FLAG_AUTO_SYNONYMS /
 FLAG_AUTO_MULTIWORD_SYNONYMS (greedy longest multi-word synonym keys over
 term groups), FLAG_FUZZY, FLAG_NGRAMS (the ``ngrams=True`` ctor arg) and
-FLAG_WILDCARD_MULTI / SINGLE / GLOB (glob wildcards anywhere in a word);
-flag VALUES mirror queryparser.h exactly.  Not implemented:
-FLAG_WORD_BREAKS (ICU), FLAG_ACCUMULATE, FLAG_NO_POSITIONS:
+FLAG_WILDCARD_MULTI / SINGLE / GLOB (glob wildcards anywhere in a word),
+and a FLAG_WORD_BREAKS analog (the ``word_breaks=lexicon`` ctor arg —
+greedy longest-match segmentation standing in for ICU's dictionary
+BreakIterator, words combined with OP_AND per the USE_ICU branch of
+as_unbroken_query); flag VALUES mirror queryparser.h exactly.  Not
+implemented: FLAG_ACCUMULATE, FLAG_NO_POSITIONS:
 
 - default combining operator OP_OR (queryparser_internal.h:97);
 - boolean operators AND / OR / NOT / XOR (uppercase only), with the
@@ -392,6 +395,7 @@ class QueryParser:
         mode: str = "xapian",
         stem: str | None = None,
         ngrams: bool = False,
+        word_breaks: frozenset[str] | set[str] | None = None,
     ):
         """``stem='en'``: free-text terms become Z-prefixed stemmed forms
         (STEM_SOME query side — the parser generates Zstem terms for
@@ -403,7 +407,18 @@ class QueryParser:
         ``build_index(ngrams=True)`` index (FLAG_NGRAMS — the reference
         feeds unbroken spans through the same NgramIterator and combines
         the unigrams positionally, queryparser.lemony
-        as_positional_unbroken)."""
+        as_positional_unbroken).
+
+        ``word_breaks``: FLAG_WORD_BREAKS analog (queryparser.h FLAG_WORD
+        _BREAKS, lemony as_unbroken_query USE_ICU branch:598-613) —
+        unbroken-script query spans segment into WORDS via greedy
+        longest-match against this lexicon and combine with OP_AND, the
+        reference's exact combination for ICU-broken words.  Pass the
+        same lexicon the index was built with.  Mutually exclusive with
+        ``ngrams``."""
+        if ngrams and word_breaks is not None:
+            raise ValueError("ngrams and word_breaks are mutually exclusive")
+        self.word_breaks = frozenset(word_breaks) if word_breaks is not None else None
         self.ngrams = ngrams
         self.flags = flags
         self.default_op = default_op
@@ -955,6 +970,23 @@ class QueryParser:
         self, word: str, field_prefixes: list[str] | None = None
     ) -> Q.Query | None:
         fps = field_prefixes if field_prefixes else [""]
+        if self.word_breaks is not None:
+            from ..functions.tokenizer import (
+                _is_unbroken_wordchar,
+                wordbreak_tokenize_mixed,
+            )
+
+            if any(_is_unbroken_wordchar(c) for c in word):
+                toks = wordbreak_tokenize_mixed(word, self.word_breaks)
+                if not toks:
+                    return None
+                variants = []
+                for p in fps:
+                    terms_p = [Q.Term(make_term(p, t)) for t in toks]
+                    variants.append(
+                        terms_p[0] if len(terms_p) == 1 else Q.And(terms_p)
+                    )
+                return variants[0] if len(variants) == 1 else Q.Or(variants)
         if self.ngrams:
             from ..functions.tokenizer import (
                 _is_unbroken_wordchar,
