@@ -503,3 +503,33 @@ def test_pure_not_and_partial_evaluate(spark, matcher, index):
     qq = pp.parse_query("binary_sea")
     got = matcher.mset(qq, maxitems=5).df.collect()
     assert got, "partial prefix must match binary_search docs"
+
+
+def test_hate_with_filter_only():
+    """api_queryparser.cc:865-868: '-cup site:world' →
+    (0 * Hworld AND_NOT Zcup) — hate against a filters-only base."""
+    p = QueryParser()
+    p.add_boolean_prefix("site", "H")
+    for s in ("-cup site:world", "site:world -cup", "(site:world) -cup"):
+        q = p.parse_query(s)
+        assert isinstance(q, Q.AndNot), s
+        assert isinstance(q.left, Q.ScaleWeight) and q.left.factor == 0.0, s
+        assert q.left.subquery.term == "Hworld", s
+        assert q.right.term == "cup", s
+
+
+def test_filter_between_prob_terms():
+    """api_queryparser.cc:872-875: 'foo site:xapian.org bar' →
+    ((foo AND bar) FILTER Hxapian.org) — filter position is irrelevant."""
+    p = QueryParser(default_op="and")
+    p.add_boolean_prefix("site", "H")
+    for s in (
+        "foo site:xapian.org bar",
+        "foo bar site:xapian.org",
+        "site:xapian.org foo bar",
+    ):
+        q = p.parse_query(s)
+        assert isinstance(q, Q.Filter), s
+        assert isinstance(q.left, Q.And), s
+        assert {c.term for c in q.left.children} == {"foo", "bar"}, s
+        assert q.right.term == "Hxapian.org", s
