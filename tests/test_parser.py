@@ -533,3 +533,27 @@ def test_filter_between_prob_terms():
         assert isinstance(q.left, Q.And), s
         assert {c.term for c in q.left.children} == {"foo", "bar"}, s
         assert q.right.term == "Hxapian.org", s
+
+
+def test_word_breaks_flag_constant():
+    from xapian_spark.plans.parser import (
+        FLAG_CJK_NGRAM,
+        FLAG_NGRAMS,
+        FLAG_WORD_BREAKS,
+        QueryParser,
+    )
+
+    assert FLAG_NGRAMS == 2048 and FLAG_CJK_NGRAM == FLAG_NGRAMS
+    assert FLAG_WORD_BREAKS == 4096
+    # FLAG_NGRAMS ≡ ngrams=True
+    p = QueryParser(flags=DEFAULT_FLAGS | FLAG_NGRAMS)
+    assert p.ngrams
+    # FLAG_WORD_BREAKS without a lexicon is an error (no ICU here)
+    with pytest.raises(ValueError, match="lexicon"):
+        QueryParser(flags=DEFAULT_FLAGS | FLAG_WORD_BREAKS)
+    # with a lexicon it parses to AND of words
+    p2 = QueryParser(
+        flags=DEFAULT_FLAGS | FLAG_WORD_BREAKS, word_breaks={"我们", "喜欢"}
+    )
+    q = p2.parse_query("我们喜欢")
+    assert isinstance(q, Q.And)

@@ -76,6 +76,9 @@ FLAG_SPELLING_CORRECTION = 128  # "did you mean" (queryparser.h:592-604)
 FLAG_SYNONYM = 256  # '~term' syntax (queryparser.h:605)
 FLAG_AUTO_SYNONYMS = 512  # every term auto-expands (queryparser.h:610)
 FLAG_AUTO_MULTIWORD_SYNONYMS = 1024  # term-group synonyms (queryparser.h:618)
+FLAG_NGRAMS = 2048  # unbroken-script n-grams (queryparser.h:640); = ngrams=True
+FLAG_CJK_NGRAM = FLAG_NGRAMS  # old name (queryparser.h:650)
+FLAG_WORD_BREAKS = 4096  # dictionary word breaks (queryparser.h:665); needs word_breaks=lexicon
 FLAG_WILDCARD_MULTI = 8192  # '*' anywhere in a word (queryparser.h:680)
 FLAG_WILDCARD_SINGLE = 16384  # '?' matches one char (queryparser.h:695)
 FLAG_WILDCARD_GLOB = FLAG_WILDCARD_MULTI | FLAG_WILDCARD_SINGLE
@@ -419,7 +422,16 @@ class QueryParser:
         if ngrams and word_breaks is not None:
             raise ValueError("ngrams and word_breaks are mutually exclusive")
         self.word_breaks = frozenset(word_breaks) if word_breaks is not None else None
-        self.ngrams = ngrams
+        # FLAG_NGRAMS is equivalent to the ctor arg; FLAG_WORD_BREAKS
+        # additionally needs the lexicon (like the reference needs ICU)
+        self.ngrams = ngrams or bool(flags & FLAG_NGRAMS)
+        if flags & FLAG_WORD_BREAKS and word_breaks is None:
+            raise ValueError(
+                "FLAG_WORD_BREAKS requires word_breaks=<lexicon> (the "
+                "dictionary stands in for ICU here)"
+            )
+        if self.ngrams and word_breaks is not None:
+            raise ValueError("ngrams and word_breaks are mutually exclusive")
         self.flags = flags
         self.default_op = default_op
         self._tok = xapian_tokenize if mode == "xapian" else simple_tokenize
