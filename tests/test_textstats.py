@@ -134,3 +134,29 @@ def test_minhash_xxhash_impl_finds_same_dup_pairs(spark):
     sh.unpersist()
     assert (1, 2) in p_md5 and (4, 5) in p_md5
     assert (1, 2) in p_xx and (4, 5) in p_xx
+
+
+def test_jaccard_hash_join_matches_strings(spark):
+    """join_on_hash=True (8-byte shuffle keys, the 100 TB form) produces
+    identical pairs + scores on collision-free input."""
+    from xapian_spark.operators.dedup import ngram_jaccard_pairs, shingles
+
+    base = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, base),
+        (2, base + " eleven"),
+        (3, "totally unrelated words appear in this document text here"),
+    ]
+    sh = shingles(
+        spark.createDataFrame(rows, "doc_id long, text string"), w=3
+    ).persist()
+    a = {
+        (r["d1"], r["d2"]): r["jac"]
+        for r in ngram_jaccard_pairs(sh, threshold=0.5).collect()
+    }
+    b = {
+        (r["d1"], r["d2"]): r["jac"]
+        for r in ngram_jaccard_pairs(sh, threshold=0.5, join_on_hash=True).collect()
+    }
+    sh.unpersist()
+    assert a == b and (1, 2) in a

@@ -270,6 +270,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     round_digits: int = 6,
     max_shingle_df: int | None = None,
+    join_on_hash: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingles: (d1, d2, jac) with jac ≥ threshold.
 
@@ -282,7 +283,15 @@ def ngram_jaccard_pairs(
     computed exactly over the capped shingle universe — a hot shingle
     shared by thousands of docs carries ~no similarity signal, and a true
     near-dup pair loses it from numerator and denominator alike.
+
+    ``join_on_hash``: shuffle/join on ``xxhash64(shingle)`` (8-byte longs)
+    instead of the ~w-word shingle strings — the 100 TB form: shuffle
+    bytes drop several-fold and the join comparator is an integer.  A
+    64-bit collision (≈ n²/2⁶⁵) can merge two shingles, perturbing one
+    intersection count by 1 — keep the default for oracle-compared runs.
     """
+    if join_on_hash:
+        sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("shingle")
