@@ -44,3 +44,42 @@ def test_cli_index_search_delve_suggest(spark, corpus, tmp_path, capsys):
 
     out = _run(capsys, ["suggest", ix_dir, "binary_saerch"])
     assert out.strip() == "binary_search"
+
+
+def test_cli_check(spark, corpus, tmp_path, capsys):
+    """check (xapian-check analog): clean index passes every invariant;
+    a corrupted dictionary row fails with exit 1."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from xapian_spark.cli import main
+
+    corpus_path = str(tmp_path / "corpus2.parquet")
+    corpus.write.mode("overwrite").parquet(corpus_path)
+    ix_dir = str(tmp_path / "ix2")
+    assert main(["index", corpus_path, ix_dir]) == 0
+    capsys.readouterr()
+
+    assert main(["check", ix_dir]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["ok"] is True
+    assert report["dictionary_mismatch_terms"] == 0
+    assert report["doclen_mismatch_docs"] == 0
+
+    # corrupt the dictionary (double one term's collfreq) and re-check
+    dic_path = f"{ix_dir}/dictionary"
+    dic = spark.read.parquet(dic_path)
+    broken = dic.withColumn(
+        "collfreq",
+        F.when(F.col("term") == "return", F.col("collfreq") * 2).otherwise(
+            F.col("collfreq")
+        ),
+    )
+    tmp_out = str(tmp_path / "dic_broken")
+    broken.write.mode("overwrite").parquet(tmp_out)
+    shutil.rmtree(dic_path)
+    shutil.move(tmp_out, dic_path)
+    assert main(["check", ix_dir]) == 1
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["ok"] is False and report["dictionary_mismatch_terms"] >= 1

