@@ -35,7 +35,26 @@ def _mk_spark(cpus: int):
     # 1 shuffle partition per core (min 8): finer tasks were measured to
     # COST more than their straggler-smoothing saves (mapInPandas pays a
     # fixed Arrow/python per-task toll: 3x partitions = +34% busy core-sec).
-    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=max(8, cpus))
+    # JVM unified logging writes to STDOUT by default and a single
+    # "[warning][gc,alloc] …" line corrupts the driver's one-JSON-line
+    # contract (observed during the 1.28M soak) — route it to stderr.
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(8, cpus),
+        extra_conf={
+            "spark.driver.extraJavaOptions": "-Xlog:all=warning:stderr",
+            # progress bars land on stdout in this harness and crowd the
+            # driver's 2000-byte tail window
+            "spark.ui.showConsoleProgress": "false",
+            # local mode = one JVM for driver AND executors; the 1.28M-doc
+            # pipeline soak shuffles >100M rows and thrashes an 8g heap
+            # (GCLocker alloc failures observed), so the bench session
+            # gets headroom (box has 128 GiB)
+            "spark.driver.memory": os.environ.get(
+                "SPARK_DRIVER_MEMORY", "24g"
+            ),
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     return spark
 
@@ -264,7 +283,7 @@ def pipeline_scale(spark, n_docs: int, emb_docs: int) -> dict:
 
     cap = 200
     t0 = time.perf_counter()
-    sig = minhash_signatures(sh)
+    sig = minhash_signatures(sh, hash_impl="xxhash64")  # the at-scale family
     n_pairs = minhash_candidate_pairs(sig, bands=2, max_bucket_size=cap).count()
     sec = time.perf_counter() - t0
     dropped = (
@@ -277,15 +296,19 @@ def pipeline_scale(spark, n_docs: int, emb_docs: int) -> dict:
         "pairs": n_pairs,
         "max_bucket_size": cap,
         "buckets_dropped": dropped,
+        "hash_impl": "xxhash64",
     }
 
     df_cap = 100
     t0 = time.perf_counter()
-    n_j = ngram_jaccard_pairs(sh, threshold=0.8, max_shingle_df=df_cap).count()
+    n_j = ngram_jaccard_pairs(
+        sh, threshold=0.8, max_shingle_df=df_cap, join_on_hash=True
+    ).count()
     out["shingle_jaccard"] = {
         "seconds": round(time.perf_counter() - t0, 1),
         "pairs": n_j,
         "max_shingle_df": df_cap,
+        "join_on_hash": True,
     }
 
     t0 = time.perf_counter()
@@ -361,6 +384,16 @@ def full(
     _shingles(spark, sf_dir)
     # the ANN LSH bucket table is likewise built once at index time
     _ann_index(spark, sf_dir)
+    # Two passes: the FIRST call pays plan compilation + cache warming
+    # (one-off costs a long-lived service amortizes to nothing), the
+    # second measures steady state.  ``queries`` reports steady state;
+    # the cold numbers land in BENCH_FULL.json as queries_cold.
+    queries_cold: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = SPARK_QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        queries_cold[name] = round(time.perf_counter() - t0, 3)
     queries: dict[str, float] = {}
     for name in HEADLINE:
         fn = SPARK_QUERIES[name]
@@ -377,6 +410,7 @@ def full(
         "unit": "sec",
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "queries": queries,
+        "queries_cold": queries_cold,
         "index_build": {
             "docs": n_docs,
             "seconds": round(build_sec, 3),
@@ -627,7 +661,52 @@ def main():
         pipeline_docs=args.pipeline_docs,
         pipeline_emb_docs=args.pipeline_emb_docs,
     )
-    print(json.dumps(res))
+    # The per-round driver keeps only the LAST ~2000 bytes of stdout and
+    # parses the JSON line out of that window — round 3's full result
+    # outgrew it and failed to parse.  Full detail goes to BENCH_FULL.json
+    # (committed, referenced from BENCH/BASELINE.md); stdout gets a
+    # compact line guaranteed to fit.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump(res, f, indent=1)
+    compact = {
+        "metric": res["metric"],
+        "value": res["value"],
+        "unit": res["unit"],
+        "sf": res["sf"],
+        "queries": res["queries"],
+        "build_docs_per_sec": res["index_build"]["docs_per_sec"],
+        "detail": "BENCH_FULL.json",
+    }
+    if "scaling" in res:
+        sc = res["scaling"]
+        compact["scaling"] = {
+            "efficiency_wallclock_2_to_8": sc.get("efficiency_wallclock_2_to_8"),
+            "efficiency_per_busy_core": sc.get("efficiency_per_busy_core"),
+            "host_probe_ratio": sc.get("host_probe", {}).get(
+                "host_per_core_ratio"
+            ),
+            "t2_min": sc.get("t2_min"),
+            "t8_min": sc.get("t8_min"),
+            "docs_per_sec_2": sc.get("local[2]", {}).get("docs_per_sec"),
+            "docs_per_sec_8": sc.get("local[8]", {}).get("docs_per_sec"),
+        }
+    if "pipeline_scale" in res:
+        p = res["pipeline_scale"]
+        compact["pipeline_scale_sec"] = {
+            k: v.get("seconds") for k, v in p.items() if isinstance(v, dict)
+        }
+        compact["pipeline_scale_docs"] = p.get("docs")
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:  # last-resort trims to stay inside the window
+        compact.pop("pipeline_scale_sec", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:
+        compact["queries"] = {
+            k: round(v, 2) for k, v in list(compact["queries"].items())[:20]
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
