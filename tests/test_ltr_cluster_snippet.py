@@ -177,3 +177,20 @@ def test_snippet_edge_rules():
     # XML escaping like append_escaping_xml
     s5 = make_snippet("a < b & c > d needle", ["needle"], length=200)
     assert "&lt;" in s5 and "&amp;" in s5 and "&gt;" in s5
+
+
+def test_snippet_decay_prefers_distinct_terms():
+    """pump()'s DECAY=2.0: repeats of one term contribute geometrically
+    less, so a window holding BOTH query terms beats one stuffed with
+    four copies of a single term (4 × needle sums 1+½+¼+⅛ < 1+1)."""
+    from xapian_spark.functions.snippet import make_snippet
+
+    text = (
+        ("pad " * 30)
+        + "needle needle needle needle "
+        + ("pad " * 30)
+        + "needle thread "
+        + ("pad " * 30)
+    )
+    s = make_snippet(text, {"needle": 1.0, "thread": 1.0}, length=30)
+    assert "thread" in s

@@ -26,11 +26,16 @@ Semantics implemented (deterministic; remaining divergences listed below):
   ... — mset.h:343-356); term matching uses the SAME tokenizer as
   indexing, so ``c++`` or ``don't`` highlight correctly.
 
-Remaining divergences from SnipPipe: no DECAY=2.0 re-visit damping or
-phrase-relevance pegging (pump():443-470); the sweep is exhaustive (the
-reference's non-EXHAUSTIVE mode may stop early, :505-511); highlights
-wrap the whole whitespace-run rather than just its word chars;
-BACKGROUND_MODEL relevance defaults are not reproduced.
+make_snippet's window comes from the full SnipPipe pump (every word
+through the deque, zero-weight extension, DECAY=2.0 per-term re-visit
+damping); the oracle-checked ``select_window`` keeps the static-relevance
+sweep the driver's SQL replays.
+
+Remaining divergences from SnipPipe: no phrase-relevance pegging
+(pump():445-460 — our term-relevance API has no phrase structure); the
+sweep is exhaustive (the reference's non-EXHAUSTIVE mode may stop early,
+:505-511); highlights wrap the whole whitespace-run rather than just its
+word chars; BACKGROUND_MODEL relevance defaults are not reproduced.
 """
 
 from __future__ import annotations
@@ -141,38 +146,50 @@ def make_snippet(
         return _xml_escape(text[:length].rsplit(" ", 1)[0]) + omit
 
     # Full pump (SnipPipe::pump, termgenerator_internal.cc:443-511, minus
-    # DECAY/phrase pegging/early exit): EVERY word flows through the
-    # window, zero-weight words extend the best window (`sum >= best_sum`
-    # — "we don't extend a snippet over terms with 0 weight" is exactly
-    # why the reference compares >=), evictions keep end − begin ≤
-    # length+1 (the +1 allows the inter-word space, :427-428).
-    words = []  # (start, term_end, rel)
+    # phrase pegging/early exit): EVERY word flows through the window,
+    # zero-weight words extend the best window (`sum >= best_sum` — "we
+    # don't extend a snippet over terms with 0 weight" is exactly why the
+    # reference compares >=), evictions keep end − begin ≤ length+1 (the
+    # +1 allows the inter-word space, :427-428).  DECAY=2.0 re-visit
+    # damping included: relevance is a per-TERM mutable cell — each
+    # occurrence entering the window adds the cell's current value then
+    # halves it (:466-469), and an occurrence leaving doubles it back
+    # then subtracts (:475-478) — so repeats of one term contribute
+    # geometrically less and a window of distinct terms outranks one
+    # stuffed with a single term.
+    words = []  # (start, term_end, cell | None)
+    cells: dict[str, list[float]] = {}
     for m in re.finditer(r"\S+", text):
         run = m.group()
-        rel = 0.0
+        cell = None
         for t in tok(run):
             r = terms.get(t)
             if r is not None:
-                rel = r
+                cell = cells.setdefault(t, [float(r)])
                 break
         # term_end excludes trailing sentence/clause punctuation (the
         # reference's term_end stops at the term's last word char)
         e = m.end()
         while e > m.start() + 1 and text[e - 1] in ".?!,;:":
             e -= 1
-        words.append((m.start(), e, rel))
+        words.append((m.start(), e, cell))
     from collections import deque
 
+    DECAY = 2.0
     pipe: deque = deque()
     begin = 0
     cur = 0.0
     best_sum, best_begin, best_end = 0.0, 0, 0
-    for s, e, rel in words:
-        pipe.append((s, e, rel))
-        cur += rel
+    for s, e, cell in words:
+        pipe.append((s, e, cell))
+        if cell is not None:
+            cur += cell[0]
+            cell[0] /= DECAY
         while e - begin > length + 1:
-            ws, we, wr = pipe.popleft()
-            cur -= wr
+            ws, we, wc = pipe.popleft()
+            if wc is not None:
+                wc[0] *= DECAY
+                cur -= wc[0]
             begin = we
             if not pipe:
                 break
