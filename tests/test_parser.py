@@ -557,3 +557,66 @@ def test_word_breaks_flag_constant():
     )
     q = p2.parse_query("我们喜欢")
     assert isinstance(q, Q.And)
+
+
+def test_stopper_and_stoplist():
+    """qp_stoplist1 (api_queryparser.cc:2503): stopped words recorded,
+    stoplist reset per parse; all-stopword groups roll back."""
+    p = QueryParser()
+    p.set_stopper({"a", "an", "the"})
+    q = p.parse_query("some mice")
+    assert p.stoplist() == []
+    q = p.parse_query("the cat")
+    assert p.stoplist() == ["the"]
+    assert isinstance(q, Q.Term) and q.term == "cat"
+    q = p.parse_query("an aardvark")
+    assert p.stoplist() == ["an"]  # reset between parses
+    # a group of ONLY stopwords keeps its words (reference rollback)
+    q = p.parse_query("the a")
+    assert p.stoplist() == []
+    assert {t.term for t in _find_nodes(q, Q.Term)} == {"the", "a"}
+    # stopwords inside quoted phrases are kept
+    q = p.parse_query('"the cat"')
+    assert p.stoplist() == []
+    assert isinstance(q, Q.Phrase)
+
+
+def test_unstem_and_accumulate():
+    """qp_unstem_boolean_prefix (:1818) + qp_accumulate (:1831)."""
+    from xapian_spark.plans.parser import FLAG_ACCUMULATE
+
+    p = QueryParser(stem="en")
+    p.add_boolean_prefix("test", "XTEST")
+    p.add_prefix("foo", "XFOO")
+    q = p.parse_query("a plains test:bools foo:fielded")
+    assert p.unstem("Zplain") == ["plains"]
+    assert p.unstem("XTESTbools") == ["test:bools"]
+    assert p.unstem("ZXFOOfield") == ["foo:fielded"]
+    # default: unstem resets per parse
+    p.parse_query("other words")
+    assert p.unstem("Zplain") == []
+
+    pa = QueryParser(flags=DEFAULT_FLAGS | FLAG_ACCUMULATE, stem="en")
+    pa.set_stopper({"the"})
+    pa.parse_query("plains walking")
+    pa.parse_query("the second")
+    assert pa.unstem("Zplain") == ["plains"]  # survived the second parse
+    assert pa.stoplist() == ["the"]
+
+
+def test_flag_no_positions():
+    """FLAG_NO_POSITIONS (queryparser.h:744): phrase searches, NEAR and
+    ADJ all produce OP_AND."""
+    from xapian_spark.plans.parser import FLAG_NO_POSITIONS
+
+    p = QueryParser(flags=DEFAULT_FLAGS | FLAG_NO_POSITIONS)
+    q = p.parse_query('"binary search"')
+    assert isinstance(q, Q.And)
+    assert [c.term for c in q.children] == ["binary", "search"]
+    q = p.parse_query("hash NEAR/5 join")
+    assert isinstance(q, Q.And)
+    q = p.parse_query("a ADJ b ADJ c")
+    assert isinstance(q, Q.And) and len(q.children) == 3
+    # implicit phrase from punctuation also degrades
+    q = p.parse_query("1.2-rc")
+    assert not _find_nodes(q, Q.Phrase)

@@ -13,8 +13,11 @@ FLAG_WILDCARD_MULTI / SINGLE / GLOB (glob wildcards anywhere in a word),
 and a FLAG_WORD_BREAKS analog (the ``word_breaks=lexicon`` ctor arg —
 greedy longest-match segmentation standing in for ICU's dictionary
 BreakIterator, words combined with OP_AND per the USE_ICU branch of
-as_unbroken_query); flag VALUES mirror queryparser.h exactly.  Not
-implemented: FLAG_ACCUMULATE, FLAG_NO_POSITIONS:
+as_unbroken_query), FLAG_ACCUMULATE (keep stoplist/unstem data across
+parses) and FLAG_NO_POSITIONS (phrase/NEAR/ADJ degrade to OP_AND); flag
+VALUES mirror queryparser.h exactly.  A query-side stopper
+(set_stopper), stoplist() and unstem() complete the introspection
+surface.  The full queryparser.h flag enum is now implemented:
 
 - default combining operator OP_OR (queryparser_internal.h:97);
 - boolean operators AND / OR / NOT / XOR (uppercase only), with the
@@ -83,6 +86,8 @@ FLAG_WILDCARD_MULTI = 8192  # '*' anywhere in a word (queryparser.h:680)
 FLAG_WILDCARD_SINGLE = 16384  # '?' matches one char (queryparser.h:695)
 FLAG_WILDCARD_GLOB = FLAG_WILDCARD_MULTI | FLAG_WILDCARD_SINGLE
 FLAG_FUZZY = 32768  # 'word~k' edit distance (queryparser.h:718)
+FLAG_ACCUMULATE = 65536  # keep unstem/stoplist across parses (queryparser.h:733)
+FLAG_NO_POSITIONS = 0x20000  # phrase/NEAR/ADJ degrade to AND (queryparser.h:744)
 DEFAULT_FLAGS = FLAG_BOOLEAN | FLAG_PHRASE | FLAG_LOVEHATE
 
 # search-as-you-type guardrail (queryparser_internal.h:125)
@@ -448,6 +453,49 @@ class QueryParser:
         self._synonyms: dict[str, list[str]] = {}
         self._corrected_query = ""
         self._corrections: list[tuple[int, int, str]] = []
+        #: query-side stopper (SimpleStopper analog, queryparser.h:812+)
+        self._stopper: frozenset[str] | None = None
+        #: words dropped by the stopper during the last parse
+        #: (stoplist_begin/end; FLAG_ACCUMULATE keeps it across parses)
+        self._stoplist: list[str] = []
+        #: generated term → original typed words (unstem_begin/end)
+        self._unstem: dict[str, list[str]] = {}
+
+    def set_stopper(self, words) -> None:
+        """QueryParser::set_stopper (queryparser.h:812+): free-text terms
+        matching the stopper are dropped (recorded in stoplist()); quoted
+        phrases, positional ops, +love/-hate and field-scoped terms keep
+        their stopwords like the reference, and a group consisting ONLY of
+        stopwords rolls back and keeps them (lemony:1981-1990)."""
+        self._stopper = frozenset(words) if words is not None else None
+
+    def stoplist(self) -> list[str]:
+        """stoplist_begin/end analog: words stopped by the last parse
+        (accumulated across parses under FLAG_ACCUMULATE)."""
+        return list(self._stoplist)
+
+    def unstem(self, term: str) -> list[str]:
+        """unstem_begin/end analog: the original typed words that produced
+        ``term`` in the last parse (accumulated under FLAG_ACCUMULATE)."""
+        return list(self._unstem.get(term, []))
+
+    def _note_unstem(self, node, original: str) -> None:
+        """Record original text for every Term leaf under ``node``."""
+        if node is None:
+            return
+        stack = [node]
+        while stack:
+            n = stack.pop()
+            if isinstance(n, Q.Term):
+                lst = self._unstem.setdefault(n.term, [])
+                if original not in lst:
+                    lst.append(original)
+            for attr in ("children", "left", "right", "subquery"):
+                v = getattr(n, attr, None)
+                if isinstance(v, list):
+                    stack.extend(v)
+                elif isinstance(v, Q.Query):
+                    stack.append(v)
 
     def set_database(self, index) -> None:
         """Attach an index for FLAG_SPELLING_CORRECTION
@@ -516,6 +564,10 @@ class QueryParser:
     def parse_query(self, text: str) -> Q.Query:
         self._corrected_query = ""
         self._corrections: list[tuple[int, int, str]] = []
+        if not self.flags & FLAG_ACCUMULATE:
+            # default: unstem + stoplist reset per parse (queryparser.h:720)
+            self._stoplist = []
+            self._unstem = {}
         toks = self._lex(text)
         if self._corrections:
             # splice suggestions into the ORIGINAL query string, right to
@@ -741,6 +793,14 @@ class QueryParser:
                     left = Q.And(kids + [right])
         return left, i
 
+    def _positional(self, cls, terms, window):
+        """Build a positional node — or its OP_AND degradation under
+        FLAG_NO_POSITIONS (queryparser.h:744: "phrase searches, NEAR and
+        ADJ will result in OP_AND")."""
+        if self.flags & FLAG_NO_POSITIONS:
+            return terms[0] if len(terms) == 1 else Q.And(list(terms))
+        return cls(terms, window=window)
+
     def _parse_near(self, toks, i):
         left, i = self._parse_primary(toks, i)
         while i < len(toks) and toks[i].kind in ("NEAR", "ADJ"):
@@ -754,6 +814,8 @@ class QueryParser:
                     terms.append(side)
                 elif isinstance(side, (Q.Near, Q.Phrase)):
                     terms.extend(side.children)
+                elif isinstance(side, Q.And) and self.flags & FLAG_NO_POSITIONS:
+                    terms.extend(side.children)
                 else:
                     raise ValueError(f"{op.kind} requires plain terms")
             # window = (width - 1) + #terms, width defaulting to 10
@@ -761,7 +823,7 @@ class QueryParser:
             width = op.window if op.window is not None else 10
             window = (width - 1) + len(terms)
             cls = Q.Near if op.kind == "NEAR" else Q.Phrase
-            left = cls(terms, window=window)
+            left = self._positional(cls, terms, window)
         return left, i
 
     def _parse_primary(self, toks, i):
@@ -770,6 +832,7 @@ class QueryParser:
         loves: list[Q.Query] = []
         hates: list[Q.Query] = []
         normals: list[Q.Query] = []
+        stopped: list[_Tok] = []  # stopper-dropped words (rollback buffer)
         #: boolean-prefix filter terms grouped per field (same field → OR,
         #: across fields → AND — the reference's filter combination)
         bool_filters: dict[str, list[Q.Query]] = {}
@@ -817,9 +880,11 @@ class QueryParser:
             if t.field is not None and t.field in self._bool_prefixes:
                 # boolean filter term: value VERBATIM, one per prefix
                 for p in self._bool_prefixes[t.field]:
-                    bool_filters.setdefault(t.field, []).append(
-                        Q.Term(make_term(p, t.text))
-                    )
+                    bt = Q.Term(make_term(p, t.text))
+                    bool_filters.setdefault(t.field, []).append(bt)
+                    # unstem maps the generated term to the typed token
+                    # ("XTESTfoo" → "test:foo", qp_unstem_boolean_prefix)
+                    self._note_unstem(bt, f"{t.field}:{t.text}")
                 got = True
                 i += 1
                 continue
@@ -846,12 +911,30 @@ class QueryParser:
                 # FLAG_PARTIAL final word → wildcard OR full term
                 node = self._partial_node(t.text, field_prefixes=fps)
             else:
+                if (
+                    self._stopper is not None
+                    and t.field is None
+                    and t.prefix is None
+                    and not t.partial
+                ):
+                    wt = self._tok(t.text)
+                    if wt and all(w in self._stopper for w in wt):
+                        # dropped; kept in `stopped` for the all-stopword
+                        # group rollback (lemony:1981-1990)
+                        stopped.append(t)
+                        self._stoplist.append(t.text)
+                        got = True
+                        i += 1
+                        continue
                 node = self._word_node(t.text, field_prefixes=fps)
                 if node is not None and self.flags & (
                     FLAG_AUTO_SYNONYMS | FLAG_AUTO_MULTIWORD_SYNONYMS
                 ):
                     node = self._synonym_expand(node)
             if node is not None:
+                self._note_unstem(
+                    node, f"{t.field}:{t.text}" if t.field else t.text
+                )
                 if t.prefix == "love":
                     loves.append(node)
                 elif t.prefix == "hate":
@@ -862,6 +945,22 @@ class QueryParser:
             i += 1
         if not got:
             return None, i
+        if (
+            stopped
+            and not normals
+            and not loves
+            and not hates
+            and not bool_filters
+            and not range_filters
+        ):
+            # the whole group was stopwords → roll back and keep them
+            # (the reference reprocesses the group with the stopper off)
+            for t in stopped:
+                self._stoplist.remove(t.text)
+                node = self._word_node(t.text)
+                if node is not None:
+                    self._note_unstem(node, t.text)
+                    normals.append(node)
         base: Q.Query | None = None
         if loves:
             base = loves[0] if len(loves) == 1 else Q.And(loves)
@@ -1049,9 +1148,10 @@ class QueryParser:
                 # one typed word → several index terms (e.g. "1.2-rc") →
                 # phrase; phrase terms are unstemmed (positional terms)
                 variants.append(
-                    Q.Phrase(
+                    self._positional(
+                        Q.Phrase,
                         [Q.Term(make_term(p, t)) for t in terms],
-                        window=len(terms),
+                        len(terms),
                     )
                 )
         return variants[0] if len(variants) == 1 else Q.Or(variants)
@@ -1069,9 +1169,10 @@ class QueryParser:
                 variants.append(Q.Term(make_term(p, terms[0])))
             else:
                 variants.append(
-                    Q.Phrase(
+                    self._positional(
+                        Q.Phrase,
                         [Q.Term(make_term(p, t)) for t in terms],
-                        window=len(terms),
+                        len(terms),
                     )
                 )
         return variants[0] if len(variants) == 1 else Q.Or(variants)
