@@ -620,3 +620,19 @@ def test_flag_no_positions():
     # implicit phrase from punctuation also degrades
     q = p.parse_query("1.2-rc")
     assert not _find_nodes(q, Q.Phrase)
+
+
+def test_proper_noun_heuristic():
+    """Capitalised words skip stemming for heuristic-enabled languages
+    (generator.c:2489-2524 list; queryparser.lemony:229-233), unless
+    FLAG_NO_PROPER_NOUN_HEURISTIC — and German is never special-cased."""
+    from xapian_spark.plans.parser import FLAG_NO_PROPER_NOUN_HEURISTIC
+
+    p = QueryParser(stem="en")
+    assert p.parse_query("walking").term == "Zwalk"
+    assert p.parse_query("Tony").term == "tony"  # proper noun: unstemmed
+    pn = QueryParser(stem="en", flags=DEFAULT_FLAGS | FLAG_NO_PROPER_NOUN_HEURISTIC)
+    assert pn.parse_query("Tony").term.startswith("Z")
+    # German: all nouns are capitalised → heuristic off by language
+    pg = QueryParser(stem="de")
+    assert pg.parse_query("Aufeinander").term.startswith("Z")

@@ -93,6 +93,18 @@ DEFAULT_FLAGS = FLAG_BOOLEAN | FLAG_PHRASE | FLAG_LOVEHATE
 # search-as-you-type guardrail (queryparser_internal.h:125)
 MIN_PARTIAL_PREFIX_LEN = 2
 
+FLAG_NO_PROPER_NOUN_HEURISTIC = 0x40000  # queryparser.h:779
+
+# Languages whose stemmers enable the capitalised-word (proper noun)
+# heuristic — the hard-coded list from the reference's Snowball compiler
+# (languages/compiler/generator.c:2489-2524), alias-inclusive.
+_PROPER_NOUN_HEURISTIC_LANGS = frozenset({
+    "nl", "dutch", "da", "danish", "fr", "french", "lovins", "porter",
+    "ca", "catalan", "en", "english", "it", "italian", "es", "spanish",
+    "sv", "swedish", "nb", "nn", "no", "norwegian", "id", "indonesian",
+    "pt", "portuguese", "dutch_porter", "earlyenglish",
+})
+
 
 @dataclass
 class RangeProcessor:
@@ -441,10 +453,18 @@ class QueryParser:
         self.default_op = default_op
         self._tok = xapian_tokenize if mode == "xapian" else simple_tokenize
         self._stem = None
+        #: proper-noun heuristic (queryparser.lemony State ctor:229-233):
+        #: capitalising a word prevents stemming, for languages where the
+        #: trade is worthwhile, unless FLAG_NO_PROPER_NOUN_HEURISTIC
+        self._pn_heuristic = False
         if stem is not None:
             from ..functions.stemmers import get_stemmer
 
             self._stem = get_stemmer(stem)
+            self._pn_heuristic = (
+                not flags & FLAG_NO_PROPER_NOUN_HEURISTIC
+                and stem.lower() in _PROPER_NOUN_HEURISTIC_LANGS
+            )
         self._prefixes: dict[str, list[str]] = {}
         self._bool_prefixes: dict[str, list[str]] = {}
         self._range_procs: dict[str, RangeProcessor] = {}
@@ -1067,15 +1087,26 @@ class QueryParser:
         full = fulls[0] if len(fulls) == 1 else Q.Or(fulls)
         return Q.Or([wild, full])
 
-    def _leaf_term(self, t: str, prefix: str = "") -> Q.Query:
+    def _leaf_term(
+        self, t: str, prefix: str = "", capitalised: bool = False
+    ) -> Q.Query:
         """One token → Term with stem + field prefix (Term::make_term,
-        queryparser.lemony:341-367: 'Z' + prefix + [':'] + stem)."""
-        if self._stem is not None:
+        queryparser.lemony:341-367: 'Z' + prefix + [':'] + stem).
+        ``capitalised`` words skip stemming under the proper-noun
+        heuristic (should_stem_mask, lemony:218-233)."""
+        if self._stem is not None and not (capitalised and self._pn_heuristic):
             from ..operators.indexer import _should_stem
 
             if _should_stem(t):
                 return Q.Term("Z" + make_term(prefix, self._stem(t)))
         return Q.Term(make_term(prefix, t))
+
+    @staticmethod
+    def _word_capitalised(word: str) -> bool:
+        for ch in word:
+            if ch.isalpha():
+                return ch.isupper()
+        return False
 
     def _word_node(
         self, word: str, field_prefixes: list[str] | None = None
@@ -1141,9 +1172,10 @@ class QueryParser:
         if not terms:
             return None
         variants: list[Q.Query] = []
+        cap = self._word_capitalised(word)
         for p in fps:
             if len(terms) == 1:
-                variants.append(self._leaf_term(terms[0], p))
+                variants.append(self._leaf_term(terms[0], p, capitalised=cap))
             else:
                 # one typed word → several index terms (e.g. "1.2-rc") →
                 # phrase; phrase terms are unstemmed (positional terms)
