@@ -512,7 +512,11 @@ def _scaling(scale_docs: int) -> dict:
         out = []
         for a in attempts:
             r, t = _attempt_quality(a)
-            if r >= probe_min and t <= 1.2 * best:
+            # efficiency > 1.05 is physically impossible on one box
+            # (superlinear 2→8 scaling = the 2-core leg was contaminated
+            # by load the probes missed) — never let it into the pool,
+            # where it would inflate the median
+            if r >= probe_min and t <= 1.2 * best and a["efficiency"] <= 1.05:
                 out.append(a)
         return out
 
