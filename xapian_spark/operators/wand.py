@@ -78,6 +78,10 @@ def wand_topk(
     """
     terms = sorted(term_weights)
     if not terms:
+        if stats_out is not None:
+            stats_out.update(
+                {"theta": float("-inf"), "blocks_total": 0, "blocks_pruned": 0}
+            )
         return spark.createDataFrame([], "doc_id long, weight double")
 
     # Per-term constants attach as literal CASE columns, NOT a broadcast
