@@ -89,6 +89,7 @@ FLAG_FUZZY = 32768  # 'word~k' edit distance (queryparser.h:718)
 FLAG_ACCUMULATE = 65536  # keep unstem/stoplist across parses (queryparser.h:733)
 FLAG_NO_POSITIONS = 0x20000  # phrase/NEAR/ADJ degrade to AND (queryparser.h:744)
 DEFAULT_FLAGS = FLAG_BOOLEAN | FLAG_PHRASE | FLAG_LOVEHATE
+FLAG_DEFAULT = DEFAULT_FLAGS  # the reference's name (queryparser.h:791)
 
 # search-as-you-type guardrail (queryparser_internal.h:125)
 MIN_PARTIAL_PREFIX_LEN = 2
