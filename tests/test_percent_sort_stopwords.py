@@ -117,3 +117,67 @@ def test_synonym_percent_single_job(spark, matcher, oracle):
     finally:
         DataFrame.count = real_count
     assert got == [(d, p) for d, _, p in want]
+
+
+def test_sort_mode_comparator_families(spark, matcher, index, oracle):
+    """msetcmp.cc's three families: VAL (value, docid), VAL_REL (value,
+    weight DESC, docid), REL_VAL (weight DESC, value, docid) — each checked
+    against a driver-side re-sort of (value, exact weight, docid)."""
+    q = Q.Or([Q.Term("binary_search"), Q.Term("return")])
+    weights = dict(oracle.mset(q, 10000))
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in index.docs.select("doc_id", "lang").collect()
+    }
+    rows = [(d, langs[d], w) for d, w in weights.items()]
+
+    got = [
+        r["doc_id"]
+        for r in matcher.mset(
+            q, maxitems=15, sort_by_value="lang", sort_mode="value_then_relevance"
+        ).df.collect()
+    ]
+    want = [d for d, v, w in sorted(rows, key=lambda x: (x[1], -x[2], x[0]))][:15]
+    assert got == want
+
+    got = [
+        r["doc_id"]
+        for r in matcher.mset(
+            q, maxitems=15, sort_by_value="lang", sort_mode="relevance_then_value"
+        ).df.collect()
+    ]
+    want = [d for d, v, w in sorted(rows, key=lambda x: (-x[2], x[1], x[0]))][:15]
+    assert got == want
+
+    with pytest.raises(ValueError, match="sort_mode"):
+        matcher.mset(q, maxitems=5, sort_by_value="lang", sort_mode="bogus")
+
+
+def test_collapse_key_in_mset(spark, matcher, index, oracle):
+    """Enquire::set_collapse_key in mset proper: at most collapse_max best
+    docs per key value under the active comparator; NULL keys uncollapsed;
+    matches reports the post-collapse count."""
+    q = Q.Or([Q.Term("binary_search"), Q.Term("return")])
+    weights = dict(oracle.mset(q, 10000))
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in index.docs.select("doc_id", "lang").collect()
+    }
+    # expected: best-by-(weight desc, docid) per lang
+    best: dict[str, list[int]] = {}
+    for d, w in sorted(weights.items(), key=lambda kv: (-kv[1], kv[0])):
+        best.setdefault(langs[d], []).append(d)
+    expect1 = {v[0] for v in best.values()}
+    res = matcher.mset(q, maxitems=100, collapse_key="lang", with_count=True)
+    got = [r["doc_id"] for r in res.df.collect()]
+    assert set(got) == expect1
+    assert res.matches == len(expect1)
+    # collapse_max=2 keeps the two best per key
+    expect2 = {d for v in best.values() for d in v[:2]}
+    res2 = matcher.mset(
+        q, maxitems=100, collapse_key="lang", collapse_max=2, with_count=True
+    )
+    assert {r["doc_id"] for r in res2.df.collect()} == expect2
+    # ranking within the result keeps the global comparator
+    ws = [r["weight"] for r in res2.df.collect()]
+    assert ws == sorted(ws, reverse=True)

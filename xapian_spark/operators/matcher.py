@@ -32,7 +32,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -225,7 +225,10 @@ class Matcher:
         with_percent: bool = False,
         sort_by_value: str | None = None,
         sort_value_reverse: bool = False,
+        sort_mode: str = "value",
         sort_by_keys: list[tuple[str, bool]] | None = None,
+        collapse_key: str | None = None,
+        collapse_max: int = 1,
         rank_round: int | None = None,
         percent_cutoff: int = 0,
         weight_cutoff: float = 0.0,
@@ -235,6 +238,17 @@ class Matcher:
         ``sort_by_value``: order by a docs-table column instead of weight
         (Enquire::set_sort_by_value, enquire.h:163-269); ties broken by
         docid ASC like the reference's VAL comparator (msetcmp.cc).
+        ``sort_mode`` selects the comparator family (msetcmp.cc, the
+        three Enquire::set_sort_by_* modes): 'value' (VAL: value, docid),
+        'value_then_relevance' (VAL_REL: value, weight DESC, docid) or
+        'relevance_then_value' (REL_VAL: weight DESC, value, docid).
+
+        ``collapse_key`` (Enquire::set_collapse_key, enquire.h:120-160 +
+        matcher/collapser.cc): keep at most ``collapse_max`` best results
+        per distinct value of this docs-table column, "best" under the
+        SAME comparator that orders the MSet.  Docs with a NULL key are
+        never collapsed (the reference keeps every empty-value doc).
+        ``matches`` then reports the post-collapse count.
 
         ``sort_by_keys``: MultiValueKeyMaker (include/xapian/keymaker.h) —
         an ordered list of (docs-column, reverse) pairs forming a composed
@@ -315,10 +329,20 @@ class Matcher:
         if sort_by_value is not None:
             key = self.index.docs.select("doc_id", sort_by_value)
             matched = matched.join(key, "doc_id", "left")
-            order = [
-                F.desc(sort_by_value) if sort_value_reverse else F.asc(sort_by_value),
-                F.asc("doc_id"),
-            ]
+            vcol = (
+                F.desc(sort_by_value) if sort_value_reverse else F.asc(sort_by_value)
+            )
+            if sort_mode == "value_then_relevance":
+                order = [vcol, F.desc("weight"), F.asc("doc_id")]
+            elif sort_mode == "relevance_then_value":
+                order = [F.desc("weight"), vcol, F.asc("doc_id")]
+            elif sort_mode == "value":
+                order = [vcol, F.asc("doc_id")]
+            else:
+                raise ValueError(
+                    "sort_mode must be 'value', 'value_then_relevance' or "
+                    "'relevance_then_value'"
+                )
         elif sort_by_keys:
             cols = [c for c, _ in sort_by_keys]
             key = self.index.docs.select("doc_id", *cols)
@@ -330,6 +354,19 @@ class Matcher:
             order = [F.desc(F.round(F.col("weight"), rank_round)), F.asc("doc_id")]
         else:
             order = [F.desc("weight"), F.asc("doc_id")]
+        if collapse_key is not None:
+            if collapse_key not in matched.columns:  # may be a sort column
+                ckey = self.index.docs.select("doc_id", collapse_key)
+                matched = matched.join(ckey, "doc_id", "left")
+            w = Window.partitionBy(collapse_key).orderBy(*order)
+            matched = (
+                matched.withColumn("_crank", F.row_number().over(w))
+                .filter(
+                    F.col(collapse_key).isNull()
+                    | (F.col("_crank") <= collapse_max)
+                )
+                .drop("_crank")
+            )
         ranked = matched.orderBy(*order).limit(first + maxitems)
         rows = ranked.collect()[first : first + maxitems]
         out = self.spark.createDataFrame(
