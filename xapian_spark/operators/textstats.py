@@ -129,26 +129,57 @@ def text_quality(
     round_digits: int = 6,
 ) -> DataFrame:
     """(doc_id, n_tokens, n_distinct, distinct_ratio, stop_ratio,
-    avg_token_len) — the usual cheap quality features for corpus filtering."""
-    toks = tokens_col(text_col)
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    total_chars = F.aggregate(
-        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    avg_token_len) — the usual cheap quality features for corpus filtering.
+
+    One Arrow ``mapInPandas`` pass (the lang_id/winnow pattern): the
+    Column version evaluated ~5 interpreted HOF expressions per row with
+    no common-subexpression elimination (the token split re-ran per
+    expression, array_distinct twice).  The kernel tokenizes once and
+    emits integer counts; ratios + half-up rounding stay JVM-side so the
+    SQL oracle hashes identically."""
+    import re
+
+    import pandas as pd
+
+    stop = frozenset(STOPWORDS)
+    split_re = re.compile(r"\s+", re.ASCII)
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, ntok, ndis, nstop, chars = [], [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in split_re.split((text or "").lower()) if t]
+                ids.append(doc_id)
+                ntok.append(len(toks))
+                ndis.append(len(set(toks)))
+                nstop.append(sum(1 for t in toks if t in stop))
+                chars.append(sum(len(t) for t in toks))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_tokens": pd.Series(ntok, dtype="int64"),
+                    "n_distinct": pd.Series(ndis, dtype="int64"),
+                    "_n_stop": pd.Series(nstop, dtype="int64"),
+                    "_chars": pd.Series(chars, dtype="int64"),
+                }
+            )
+
+    raw = docs.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+        kernel,
+        "doc_id long, n_tokens long, n_distinct long, _n_stop long, _chars long",
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        n_tok.cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
-        F.round(
-            F.size(F.array_distinct(toks)).cast("double") / n_tok.cast("double"),
-            round_digits,
-        ).alias("distinct_ratio"),
-        F.round(n_stop.cast("double") / n_tok.cast("double"), round_digits).alias(
+    nt = F.col("n_tokens").cast("double")
+    return raw.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(F.col("n_distinct").cast("double") / nt, round_digits).alias(
+            "distinct_ratio"
+        ),
+        F.round(F.col("_n_stop").cast("double") / nt, round_digits).alias(
             "stop_ratio"
         ),
-        F.round(
-            total_chars.cast("double") / n_tok.cast("double"), round_digits
-        ).alias("avg_token_len"),
+        F.round(F.col("_chars").cast("double") / nt, round_digits).alias(
+            "avg_token_len"
+        ),
     )
