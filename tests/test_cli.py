@@ -83,3 +83,21 @@ def test_cli_check(spark, corpus, tmp_path, capsys):
     assert main(["check", ix_dir]) == 1
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["ok"] is False and report["dictionary_mismatch_terms"] >= 1
+
+
+def test_cli_delve_allterms(spark, corpus, tmp_path, capsys):
+    """delve --allterms [prefix]: the allterms_begin(prefix) dictionary
+    scan (include/xapian/database.h:283-306)."""
+    from xapian_spark.cli import main
+
+    corpus_path = str(tmp_path / "corpus3.parquet")
+    corpus.write.mode("overwrite").parquet(corpus_path)
+    ix_dir = str(tmp_path / "ix3")
+    assert main(["index", corpus_path, ix_dir]) == 0
+    capsys.readouterr()
+
+    assert main(["delve", ix_dir, "--allterms", "ret", "-k", "50"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines and all(ln.split("\t")[0].startswith("ret") for ln in lines)
+    terms = [ln.split("\t")[0] for ln in lines]
+    assert terms == sorted(terms) and "return" in terms

@@ -5,7 +5,7 @@ analogs (reference bin/xapian-*.cc), runnable via
   index   <corpus.parquet> <index_dir> [--content-col C] [--id-col I]
           [--mode xapian|simple] [--stem en] [--stopword w]...
   search  <index_dir> "<query>" [-k N] [--percent] [--prune] [--stem en]
-  delve   <index_dir> [--term T | --doc D | --stats]
+  delve   <index_dir> [--term T | --doc D | --stats | --allterms [PREFIX]]
   compact <segment_root> <out_dir>
   check   <index_dir>            (xapian-check analog: consistency fsck)
   suggest <index_dir> <word>
@@ -82,7 +82,7 @@ def cmd_delve(args) -> int:
 
     spark = _spark()
     ix = load_index(spark, args.index_dir)
-    if args.stats or not (args.term or args.doc):
+    if args.stats or not (args.term or args.doc or args.allterms is not None):
         print(json.dumps(ix.stats))
         print(json.dumps({"vocab": ix.dictionary.count(), "blocks": ix.postings.count()}))
     if args.term:
@@ -98,6 +98,14 @@ def cmd_delve(args) -> int:
     if args.doc:
         rows = ix.docs.filter(F.col("doc_id") == args.doc).collect()
         print(json.dumps([r.asDict() for r in rows], default=str))
+    if args.allterms is not None:
+        # allterms_begin(prefix) analog (include/xapian/database.h:283-306):
+        # dictionary scan, startswith pushes down to the parquet scan
+        d = ix.dictionary
+        if args.allterms:
+            d = d.filter(F.col("term").startswith(args.allterms))
+        for r in d.orderBy("term").limit(args.k).collect():
+            print(f"{r['term']}\t{r['termfreq']}\t{r['collfreq']}")
     return 0
 
 
@@ -234,6 +242,10 @@ def main(argv=None) -> int:
     p.add_argument("--term")
     p.add_argument("--doc", type=int)
     p.add_argument("--stats", action="store_true")
+    p.add_argument(
+        "--allterms", nargs="?", const="", default=None,
+        help="dictionary scan, optionally by prefix (allterms_begin)",
+    )
     p.add_argument("-k", type=int, default=10)
     p.set_defaults(fn=cmd_delve)
 
