@@ -354,79 +354,96 @@ def full(
     pipeline_docs: int = 0,
     pipeline_emb_docs: int = 0,
 ) -> dict:
+    """Every section is fail-soft (VERDICT r04 #1): one exception anywhere
+    must not cost the round its bench artifact, so each section lands either
+    its numbers or a one-line error under ``errors`` — the JSON line always
+    prints with whatever completed."""
     t_start = time.perf_counter()
-    spark = _mk_spark(cpus)
-
-    # 1) index-build throughput over the sf documents table (xapian mode)
-    from xapian_spark.operators.indexer import build_index
-    from xapian_spark.sources.catalog import save_index
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
-    n_docs = docs.count()
-    out = tempfile.mkdtemp(prefix="xsb_")
-    t0 = time.perf_counter()
-    ix = build_index(
-        spark, docs, id_col="doc_id", content_col="text", meta_cols=["lang"], mode="xapian"
-    )
-    save_index(ix, out)
-    build_sec = time.perf_counter() - t0
-    shutil.rmtree(out, ignore_errors=True)
-
-    # 2) headline query latencies via the driver-contract entrypoints
-    from xapian_spark.entrypoints import SPARK_QUERIES, get_matcher
-
-    get_matcher(spark, sf_dir)  # warm the shared simple-mode index
-    # Warm the shingle table too: at scale shingling is INDEX-time work (a
-    # persisted table built once, like postings), so query latencies below
-    # measure the dedup operators, not corpus re-shingling.
-    from xapian_spark.entrypoints import _ann_index, _shingles
-
-    _shingles(spark, sf_dir)
-    # the ANN LSH bucket table is likewise built once at index time
-    _ann_index(spark, sf_dir)
-    # Two passes: the FIRST call pays plan compilation + cache warming
-    # (one-off costs a long-lived service amortizes to nothing), the
-    # second measures steady state.  ``queries`` reports steady state;
-    # the cold numbers land in BENCH_FULL.json as queries_cold.
-    queries_cold: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = SPARK_QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        queries_cold[name] = round(time.perf_counter() - t0, 3)
-    queries: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = SPARK_QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        queries[name] = round(time.perf_counter() - t0, 3)
-    pipe = None
-    if pipeline_docs > 0:
-        pipe = pipeline_scale(spark, pipeline_docs, pipeline_emb_docs)
-    spark.stop()
-
+    errors: dict[str, str] = {}
     result = {
         "metric": "index-build docs/sec + headline query latency (sf documents)",
         "unit": "sec",
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
-        "queries": queries,
-        "queries_cold": queries_cold,
-        "index_build": {
+    }
+    spark = _mk_spark(cpus)
+
+    # 1) index-build throughput over the sf documents table (xapian mode)
+    try:
+        from xapian_spark.operators.indexer import build_index
+        from xapian_spark.sources.catalog import save_index
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+        n_docs = docs.count()
+        out = tempfile.mkdtemp(prefix="xsb_")
+        t0 = time.perf_counter()
+        ix = build_index(
+            spark, docs, id_col="doc_id", content_col="text", meta_cols=["lang"], mode="xapian"
+        )
+        save_index(ix, out)
+        build_sec = time.perf_counter() - t0
+        shutil.rmtree(out, ignore_errors=True)
+        result["index_build"] = {
             "docs": n_docs,
             "seconds": round(build_sec, 3),
             "docs_per_sec": round(n_docs / build_sec, 1),
             "cpus": cpus,
-        },
-    }
+        }
+    except Exception as e:  # noqa: BLE001 — fail-soft by contract
+        errors["index_build"] = f"{type(e).__name__}: {e}"[:300]
+
+    # 2) headline query latencies via the driver-contract entrypoints
+    queries_cold: dict[str, float] = {}
+    queries: dict[str, float] = {}
+    try:
+        from xapian_spark.entrypoints import SPARK_QUERIES, get_matcher
+
+        get_matcher(spark, sf_dir)  # warm the shared simple-mode index
+        # Warm the shingle table too: at scale shingling is INDEX-time work
+        # (a persisted table built once, like postings), so query latencies
+        # below measure the dedup operators, not corpus re-shingling.
+        from xapian_spark.entrypoints import _ann_index, _shingles
+
+        _shingles(spark, sf_dir)
+        # the ANN LSH bucket table is likewise built once at index time
+        _ann_index(spark, sf_dir)
+        # Two passes: the FIRST call pays plan compilation + cache warming
+        # (one-off costs a long-lived service amortizes to nothing), the
+        # second measures steady state.  ``queries`` reports steady state;
+        # the cold numbers land in BENCH_FULL.json as queries_cold.
+        for target in (queries_cold, queries):
+            for name in HEADLINE:
+                fn = SPARK_QUERIES[name]
+                try:
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).collect()
+                    target[name] = round(time.perf_counter() - t0, 3)
+                except Exception as e:  # noqa: BLE001
+                    errors[f"query:{name}"] = f"{type(e).__name__}: {e}"[:200]
+    except Exception as e:  # noqa: BLE001 — warmup itself failed
+        errors["queries"] = f"{type(e).__name__}: {e}"[:300]
+    result["queries"] = queries
+    result["queries_cold"] = queries_cold
+
+    if pipeline_docs > 0:
+        try:
+            result["pipeline_scale"] = pipeline_scale(
+                spark, pipeline_docs, pipeline_emb_docs
+            )
+        except Exception as e:  # noqa: BLE001
+            errors["pipeline_scale"] = f"{type(e).__name__}: {e}"[:300]
+    spark.stop()
 
     # 3) two-parallelism scaling (same input; 2 vs 8 cores = N vs 4N with
     # neither leg into SMT territory on this 32-physical-core box — see
     # BENCH/BASELINE.md for methodology + per-busy-core normalization)
-    if pipe is not None:
-        result["pipeline_scale"] = pipe
     if do_scaling:
-        result["scaling"] = _scaling(scale_docs)
+        try:
+            result["scaling"] = _scaling(scale_docs)
+        except Exception as e:  # noqa: BLE001
+            errors["scaling"] = f"{type(e).__name__}: {e}"[:300]
 
+    if errors:
+        result["errors"] = errors
     result["value"] = round(time.perf_counter() - t_start, 3)
     return result
 
@@ -520,11 +537,16 @@ def _scaling(scale_docs: int) -> dict:
                 out.append(a)
         return out
 
+    failed_attempts: list[str] = []
     for _ in range(max_attempts):
-        pb = _host_probe()
-        leg2 = _run_leg(2, scale_docs)
-        leg8 = _run_leg(8, scale_docs)
-        pa = _host_probe()
+        try:
+            pb = _host_probe()
+            leg2 = _run_leg(2, scale_docs)
+            leg8 = _run_leg(8, scale_docs)
+            pa = _host_probe()
+        except Exception as e:  # noqa: BLE001 — one bad leg ≠ no scaling number
+            failed_attempts.append(f"{type(e).__name__}: {e}"[:200])
+            continue
         eff = (leg2["seconds"] / leg8["seconds"]) / 4.0
         attempts.append(
             {
@@ -537,6 +559,10 @@ def _scaling(scale_docs: int) -> dict:
         )
         if len(_clean_set()) >= n_attempts:
             break
+    if not attempts:
+        raise RuntimeError(
+            f"all {max_attempts} scaling attempts failed: {failed_attempts}"
+        )
     clean = _clean_set()
 
     # Per-leg minima across ALL attempts: sporadic host spikes on a pinned
@@ -592,6 +618,8 @@ def _scaling(scale_docs: int) -> dict:
             for a in attempts
         ],
     }
+    if failed_attempts:
+        scaling["failed_attempts"] = failed_attempts
     a2 = med["local[2]"].get("docs_per_core_sec")
     a8 = med["local[8]"].get("docs_per_core_sec")
     if a2 and a8:
@@ -642,8 +670,14 @@ def main():
     ap.add_argument(
         "--pipeline-docs",
         type=int,
-        default=int(os.environ.get("SPARK_GRAFT_PIPELINE_DOCS", "1280000")),
-        help="doc count for the pipeline-operator scale soak (0 disables)",
+        default=int(os.environ.get("SPARK_GRAFT_PIPELINE_DOCS", "0")),
+        help=(
+            "doc count for the pipeline-operator scale soak (0 = off; "
+            "OPT-IN since r5 — it is the longest, most fragile section and "
+            "its 1.28M/2.56M-doc results are committed in BENCH_FULL.json "
+            "+ BENCH/BASELINE.md; set SPARK_GRAFT_PIPELINE_DOCS=1280000 "
+            "to re-run it)"
+        ),
     )
     ap.add_argument(
         "--pipeline-emb-docs",
@@ -657,31 +691,49 @@ def main():
         return
 
     do_scaling = os.environ.get("SPARK_GRAFT_NO_SCALING", "") != "1"
-    res = full(
-        args.cpus,
-        args.sf_dir,
-        args.scale_docs,
-        do_scaling,
-        pipeline_docs=args.pipeline_docs,
-        pipeline_emb_docs=args.pipeline_emb_docs,
-    )
+    try:
+        res = full(
+            args.cpus,
+            args.sf_dir,
+            args.scale_docs,
+            do_scaling,
+            pipeline_docs=args.pipeline_docs,
+            pipeline_emb_docs=args.pipeline_emb_docs,
+        )
+    except Exception as e:  # noqa: BLE001 — the JSON line MUST print
+        res = {
+            "metric": "index-build docs/sec + headline query latency (sf documents)",
+            "unit": "sec",
+            "sf": args.sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+            "queries": {},
+            "value": 0.0,
+            "errors": {"fatal": f"{type(e).__name__}: {e}"[:400]},
+        }
     # The per-round driver keeps only the LAST ~2000 bytes of stdout and
     # parses the JSON line out of that window — round 3's full result
     # outgrew it and failed to parse.  Full detail goes to BENCH_FULL.json
     # (committed, referenced from BENCH/BASELINE.md); stdout gets a
     # compact line guaranteed to fit.
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
-        json.dump(res, f, indent=1)
+    try:
+        with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+            json.dump(res, f, indent=1)
+    except OSError:
+        pass
     compact = {
         "metric": res["metric"],
         "value": res["value"],
         "unit": res["unit"],
         "sf": res["sf"],
         "queries": res["queries"],
-        "build_docs_per_sec": res["index_build"]["docs_per_sec"],
         "detail": "BENCH_FULL.json",
     }
+    if "index_build" in res:
+        compact["build_docs_per_sec"] = res["index_build"]["docs_per_sec"]
+    if "errors" in res:
+        compact["errors"] = {
+            k: v[:80] for k, v in list(res["errors"].items())[:4]
+        }
     if "scaling" in res:
         sc = res["scaling"]
         compact["scaling"] = {

@@ -85,6 +85,41 @@ def test_cli_check(spark, corpus, tmp_path, capsys):
     assert report["ok"] is False and report["dictionary_mismatch_terms"] >= 1
 
 
+def test_cli_check_missing_term(spark, corpus, tmp_path, capsys):
+    """check must flag a dictionary entry whose postings are entirely GONE
+    (and vice versa) — the full-outer join leaves one side NULL there, and
+    a plain != silently passed it before the eqNullSafe fix (ADVICE r04)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from xapian_spark.cli import main
+
+    corpus_path = str(tmp_path / "corpus_mt.parquet")
+    corpus.write.mode("overwrite").parquet(corpus_path)
+    ix_dir = str(tmp_path / "ix_mt")
+    assert main(["index", corpus_path, ix_dir]) == 0
+    capsys.readouterr()
+
+    # drop EVERY posting block of one real term: the dictionary row
+    # survives with no decoded counterpart (missing-postings corruption)
+    post_path = f"{ix_dir}/postings"
+    post = spark.read.parquet(post_path)
+    victim = post.select("term").first()["term"]
+    broken = post.filter(F.col("term") != victim)
+    tmp_out = str(tmp_path / "post_broken")
+    broken.write.mode("overwrite").parquet(tmp_out)
+    shutil.rmtree(post_path)
+    shutil.move(tmp_out, post_path)
+
+    assert main(["check", ix_dir]) == 1
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["ok"] is False
+    # the victim term now exists ONLY in the dictionary: the decoded side of
+    # the full join is NULL, which a plain != used to swallow
+    assert report["dictionary_mismatch_terms"] >= 1
+
+
 def test_cli_delve_allterms(spark, corpus, tmp_path, capsys):
     """delve --allterms [prefix]: the allterms_begin(prefix) dictionary
     scan (include/xapian/database.h:283-306)."""

@@ -153,12 +153,16 @@ def cmd_check(args) -> int:
         F.sum("wdf").cast("long").alias("cf"),
         F.max("wdf").alias("wmax"),
     )
+    # null-safe (eqNullSafe): after the FULL join a term present on only one
+    # side leaves the other side's columns NULL — a plain != evaluates to
+    # NULL there and silently drops exactly the missing/extra-term
+    # corruption this check exists to catch
     dic_bad = (
         agg.join(ix.dictionary, "term", "full")
         .filter(
-            (F.col("tf") != F.col("termfreq"))
-            | (F.col("cf") != F.col("collfreq"))
-            | (F.col("wmax") != F.col("wdf_max"))
+            ~F.col("tf").eqNullSafe(F.col("termfreq"))
+            | ~F.col("cf").eqNullSafe(F.col("collfreq"))
+            | ~F.col("wmax").eqNullSafe(F.col("wdf_max"))
         )
         .count()
     )
@@ -169,17 +173,28 @@ def cmd_check(args) -> int:
     meta_rows = ix.postings.groupBy("term").agg(F.sum("n").alias("n_meta"))
     blk_bad = (
         blk.join(meta_rows, "term", "full")
-        .filter(F.col("nn") != F.col("n_meta"))
+        .filter(~F.col("nn").eqNullSafe(F.col("n_meta")))
         .count()
     )
     report["block_content_count_mismatch_terms"] = blk_bad
 
-    # denormalized doclen agreement with the docs table
+    # denormalized doclen agreement with the docs table — FULL join so a
+    # posting doc missing from the docs table (or vice versa for docs that
+    # SHOULD have postings) surfaces as a NULL-side mismatch instead of
+    # being dropped by an inner join; docs with doc_len=0 legitimately have
+    # no postings, so the docs-only side only flags rows with doc_len > 0
     dl_bad = (
         dec.select("doc_id", "doc_len")
         .distinct()
-        .join(ix.docs.select("doc_id", F.col("doc_len").alias("dl2")), "doc_id")
-        .filter(F.col("doc_len") != F.col("dl2"))
+        .join(
+            ix.docs.select("doc_id", F.col("doc_len").alias("dl2")),
+            "doc_id",
+            "full",
+        )
+        .filter(
+            ~F.col("doc_len").eqNullSafe(F.col("dl2"))
+            & ~(F.col("doc_len").isNull() & (F.coalesce(F.col("dl2"), F.lit(0)) == 0))
+        )
         .count()
     )
     report["doclen_mismatch_docs"] = dl_bad

@@ -30,6 +30,20 @@ from .plans import query as Q
 K1, B = 1.0, 0.5  # BM25 defaults (weight.h:1128-1142); k2=0, k3=1, wqf=1
 ROUND = 6
 
+
+def _round_half_up(x: float, digits: int = ROUND) -> float:
+    """HALF_UP rounding matching Spark's F.round / DuckDB round — Python's
+    builtin round() is round-half-EVEN, which diverges from the oracle on
+    exact-half values.  Spark rounds doubles via BigDecimal.valueOf (i.e.
+    the shortest decimal repr), so quantize Decimal(repr(x)) the same way."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(float(x))).quantize(
+            decimal.Decimal(1).scaleb(-digits), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
 _CACHE: dict[str, tuple[IndexTables, Matcher]] = {}
 
 
@@ -334,17 +348,19 @@ def _q_wand_topk(query: Q.Query, k: int):
         # to the exhaustive rounded ranking — exactness over speed.
         n = 2 * k + 1
         rows = m.mset_df(query, n, prune=True).collect()
+        # HALF_UP like F.round / the SQL oracle — builtin round() is
+        # half-even and can diverge on an exact-half score (ADVICE r04)
         ranked = sorted(
             ((float(r["weight"]), int(r["doc_id"])) for r in rows),
-            key=lambda x: (-round(x[0], ROUND), x[1]),
+            key=lambda x: (-_round_half_up(x[0]), x[1]),
         )
         if len(rows) >= n and k >= 1:
-            kth = round(ranked[k - 1][0], ROUND)
+            kth = _round_half_up(ranked[k - 1][0])
             tail_raw = min(w for w, _ in ranked)
-            if not (kth > round(tail_raw, ROUND)):
+            if not (kth > _round_half_up(tail_raw)):
                 return _topk(m, query, k)
         return spark.createDataFrame(
-            [(d, round(w, ROUND)) for w, d in ranked[:k]],
+            [(d, _round_half_up(w)) for w, d in ranked[:k]],
             "doc_id long, score double",
         )
 
@@ -625,7 +641,7 @@ def _q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = get_matcher(spark, sf_dir)
     s = m.index.stats
     return spark.createDataFrame(
-        [(s["doccount"], s["total_length"], round(s["avg_length"], ROUND))],
+        [(s["doccount"], s["total_length"], _round_half_up(s["avg_length"]))],
         "doccount long, total_length long, avg_length double",
     )
 
@@ -1238,7 +1254,7 @@ def _q_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank_round: the oracle's `tops` CTE orders by round(w,6) — mirror it
     res = m.mset(q, maxitems=20, with_percent=True, rank_round=ROUND)
     rows = [
-        (r["doc_id"], round(r["weight"], ROUND), res.percents[r["doc_id"]])
+        (r["doc_id"], _round_half_up(r["weight"]), res.percents[r["doc_id"]])
         for r in res.df.collect()
     ]
     return spark.createDataFrame(rows, "doc_id long, score double, percent int")
@@ -1285,7 +1301,7 @@ def _q_percent_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, maxitems=50, with_percent=True, rank_round=ROUND, percent_cutoff=40
     )
     rows = [
-        (r["doc_id"], round(r["weight"], ROUND), res.percents[r["doc_id"]])
+        (r["doc_id"], _round_half_up(r["weight"]), res.percents[r["doc_id"]])
         for r in res.df.collect()
     ]
     return spark.createDataFrame(rows, "doc_id long, score double, percent int")

@@ -375,7 +375,7 @@ def embedding_near_dups(
     index: AnnLshIndex,
     threshold: float,
     round_digits: int = 4,
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (a, b, cos) with cos ≥ threshold, a < b — the
     scale path: candidate pairs are rows sharing ≥1 LSH band bucket (an
@@ -385,13 +385,16 @@ def embedding_near_dups(
     missed (probability shrinks with bands; pytest pins recall vs the
     brute-force miner).  Never materializes a cross join.
 
-    ``max_bucket_size`` (default 1000, on) is the same 100 TB safety valve
-    as ``minhash_candidate_pairs``: a degenerate bucket of m rows (zero /
-    boilerplate embeddings share a constant-sign signature) emits
-    m(m-1)/2 pair rows into ONE reducer.  Buckets above the cap are
-    dropped before the self-join; a pair is still found if ANY band puts
-    both rows in a surviving bucket.  Use ``lsh_bucket_sizes`` to audit
-    what a chosen cap drops; pass ``None`` to disable (small data only).
+    ``max_bucket_size`` is the same 100 TB safety valve as
+    ``minhash_candidate_pairs`` — and deliberately the same OPT-IN default
+    (None): both miners return every bucket pair unless the caller chooses
+    a cap, so the two APIs agree (ADVICE r04).  AT SCALE YOU MUST SET IT:
+    a degenerate bucket of m rows (zero / boilerplate embeddings share a
+    constant-sign signature) emits m(m-1)/2 pair rows into ONE reducer.
+    Buckets above the cap are dropped before the self-join; a pair is
+    still found if ANY band puts both rows in a surviving bucket.  Use
+    ``lsh_bucket_sizes`` to audit what a chosen cap drops first (bench.py's
+    pipeline soak passes 1000 and records ``buckets_dropped``).
     """
     idc = index.id_col
     buckets = index.buckets

@@ -32,6 +32,7 @@ no binary columns read).
 from __future__ import annotations
 
 import math
+import threading
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -39,6 +40,14 @@ from pyspark.sql import functions as F
 from ..functions.weights import BM25Params, BM25Term
 from .indexer import TIER_SHIFT
 from .matcher import decode_blocks
+
+# SQLConf is session-global, so the phase-1 AQE toggle below is serialized
+# behind this lock: without it two threads sharing the SparkSession could
+# interleave set/restore and leave AQE off for unrelated queries (ADVICE
+# r04).  Queries OUTSIDE this module can still observe the brief AQE-off
+# window (a scheduling-latency nuance, never a correctness one); fully
+# per-query isolation would need the plan rebuilt on spark.newSession().
+_AQE_TOGGLE_LOCK = threading.Lock()
 
 
 def _bound_col(params: BM25Params, tw_col, lf_col, max_wdf, min_doclen):
@@ -173,12 +182,13 @@ def wand_topk(
     # pipelined.  The scoring phases below keep AQE (their shuffles grow
     # with the corpus and want skew handling / coalescing).
     conf = spark.conf
-    aqe_was = conf.get("spark.sql.adaptive.enabled", "true")
-    try:
-        conf.set("spark.sql.adaptive.enabled", "false")
-        both = probe_part.unionByName(tier_part).collect()
-    finally:
-        conf.set("spark.sql.adaptive.enabled", aqe_was)
+    with _AQE_TOGGLE_LOCK:
+        aqe_was = conf.get("spark.sql.adaptive.enabled", "true")
+        try:
+            conf.set("spark.sql.adaptive.enabled", "false")
+            both = probe_part.unionByName(tier_part).collect()
+        finally:
+            conf.set("spark.sql.adaptive.enabled", aqe_was)
     kth = sorted(
         (float(r["supb"]) for r in both if r["kind"] == "kth"), reverse=True
     )

@@ -23,6 +23,15 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
+    # Shuffle/blockmgr scratch lives under the repo, NOT /tmp: external /tmp
+    # hygiene deleted live shuffle files mid-bench in round 4
+    # (BENCH_r04.json: FileNotFoundException /tmp/blockmgr-…/shuffle_140…).
+    # On a real cluster this maps to the executors' provisioned local disks.
+    local_dir = os.environ.get(
+        "SPARK_GRAFT_LOCAL_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".spark-local"),
+    )
+    os.makedirs(local_dir, exist_ok=True)
     if shuffle_partitions is None:
         try:
             shuffle_partitions = max(8, int(cpus) if cpus != "*" else 32)
@@ -43,6 +52,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.local.dir", local_dir)
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
