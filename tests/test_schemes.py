@@ -72,6 +72,65 @@ def test_scheme_matches_oracle(name, spark, index, oracle):
         assert_mset_equal(got, want)
 
 
+def test_synonym_no_plan_time_count_tf_free_schemes(spark, index, oracle):
+    """Schemes whose init() never reads termfreq (uses_termfreq=False) must
+    evaluate Synonym queries — including percent mode's max_possible — with
+    ZERO plan-time DataFrame.count() jobs (VERDICT r04 #4).  Results still
+    match the oracle."""
+    from pyspark.sql import DataFrame
+
+    from xapian_spark.operators.matcher import Matcher
+    from xapian_spark.oracle import OracleMatcher
+
+    q = Q.Synonym([Q.Term("binary_search"), Q.Term("merge_sort")])
+    for name in ("pl2", "lmdirichlet", "dph"):
+        scheme = SCHEMES[name]()
+        assert scheme.uses_termfreq is False
+        m = Matcher(spark, index, scheme=scheme)
+        want = OracleMatcher(oracle.ix, scheme=scheme).mset(q, 10)
+
+        real_count = DataFrame.count
+
+        def banned(self):
+            raise AssertionError(f"plan-time count() for scheme {name}")
+
+        DataFrame.count = banned
+        try:
+            got = m.mset_df(q, 10).collect()
+            m.mset(q, maxitems=10, with_percent=True).df.collect()
+        finally:
+            DataFrame.count = real_count
+        assert_mset_equal(got, want)
+
+
+def test_synonym_tf_counted_once_per_term_set(spark, index):
+    """tf-USING non-BM25 schemes (TfIdf) still need one exact merged-tf
+    count — but only ONE per term set per Matcher: repeat queries hit the
+    _syn_tf_cache."""
+    from pyspark.sql import DataFrame
+
+    from xapian_spark.operators.matcher import Matcher
+
+    q = Q.Synonym([Q.Term("binary_search"), Q.Term("merge_sort")])
+    m = Matcher(spark, index, scheme=TfIdfScheme())
+    first = m.mset_df(q, 10).collect()
+    assert tuple(t for t in ["binary_search", "merge_sort"]) in m._syn_tf_cache
+
+    real_count = DataFrame.count
+
+    def banned(self):
+        raise AssertionError("re-counted a cached synonym term set")
+
+    DataFrame.count = banned
+    try:
+        again = m.mset_df(q, 10).collect()
+    finally:
+        DataFrame.count = real_count
+    assert [(r["doc_id"], r["weight"]) for r in again] == [
+        (r["doc_id"], r["weight"]) for r in first
+    ]
+
+
 def test_trad_equals_bm25_mapping(spark, index, oracle):
     """TradWeight(k) ≡ BM25Weight(k,0,0,1,0) — weight.h:1292-1309."""
     from xapian_spark.functions.weights import BM25Params, BM25Scheme

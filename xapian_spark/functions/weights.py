@@ -148,6 +148,11 @@ class BM25Scheme:
     """Default scheme (api/enquire.cc:276-277 uses BM25Weight)."""
 
     name = "bm25"
+    # Whether init() actually reads ``termfreq``.  The DFR/LM families and
+    # the trivial schemes set this False: the synonym matcher then skips the
+    # exact merged-termfreq count entirely — the scheme would throw the
+    # value away (matcher._eval_synonym / _max_possible read this).
+    uses_termfreq = True
 
     def __init__(self, params: BM25Params = BM25Params()):
         self.params = params
@@ -285,6 +290,7 @@ class CoordScheme:
     coordweight.cc:65-70)."""
 
     name = "coord"
+    uses_termfreq = False
 
     def init(self, termfreq, collfreq, stats, wqf=1, factor=1.0, query_length=None):
         return _ConstTerm(float(factor))
@@ -294,6 +300,7 @@ class BoolScheme:
     """BoolWeight: all weights 0 (weight.h:678)."""
 
     name = "bool"
+    uses_termfreq = False
 
     def init(self, termfreq, collfreq, stats, wqf=1, factor=1.0, query_length=None):
         return _ConstTerm(0.0)
@@ -721,6 +728,7 @@ class DLHScheme:
     """DLHWeight (weight.h:1637): parameter-free DFR hypergeometric."""
 
     name = "dlh"
+    uses_termfreq = False
     needs_uniqterms = False
 
     def init(self, termfreq, collfreq, stats, wqf=1, factor=1.0, query_length=None):
@@ -795,6 +803,7 @@ class PL2Scheme:
     """PL2Weight (weight.h:1705): Poisson-Laplace L2 DFR scheme, c=1.0."""
 
     name = "pl2"
+    uses_termfreq = False
     needs_uniqterms = False
 
     def __init__(self, c: float = 1.0):
@@ -820,6 +829,7 @@ class PL2PlusScheme:
     (pl2plusweight.cc — 'essentially ignores non-discriminative terms')."""
 
     name = "pl2plus"
+    uses_termfreq = False
     needs_uniqterms = False
 
     def __init__(self, c: float = 1.0, delta: float = 0.8):
@@ -912,6 +922,7 @@ class DPHScheme:
     """DPHWeight (weight.h:1830): parameter-free DPH DFR scheme."""
 
     name = "dph"
+    uses_termfreq = False
     needs_uniqterms = False
 
     def init(self, termfreq, collfreq, stats, wqf=1, factor=1.0, query_length=None):
@@ -956,6 +967,7 @@ class LMJMScheme:
     else 0.7)."""
 
     name = "lmjm"
+    uses_termfreq = False
     needs_uniqterms = False
 
     def __init__(self, lambda_: float = 0.0):
@@ -1017,6 +1029,7 @@ class LMDirichletScheme:
     delta=0.05 (Dir+ — folded into factor exactly as lmweight.cc does)."""
 
     name = "lmdirichlet"
+    uses_termfreq = False
     needs_uniqterms = False
 
     def __init__(self, mu: float = 2000.0, delta: float = 0.05):
@@ -1092,6 +1105,7 @@ class LMAbsDiscountScheme:
     delta=0.7.  Needs per-doc unique-term counts (docs.uniq_terms)."""
 
     name = "lmabsdiscount"
+    uses_termfreq = False
     needs_uniqterms = True
 
     def __init__(self, delta: float = 0.7):
@@ -1163,6 +1177,7 @@ class LM2StageScheme:
     mu=2000."""
 
     name = "lm2stage"
+    uses_termfreq = False
     needs_uniqterms = False
 
     def __init__(self, lambda_: float = 0.7, mu: float = 2000.0):
@@ -1215,6 +1230,7 @@ class DiceScheme:
     Needs per-doc unique-term counts (docs.uniq_terms)."""
 
     name = "dice"
+    uses_termfreq = False
     needs_uniqterms = True
 
     def init(self, termfreq, collfreq, stats, wqf=1, factor=1.0, query_length=None):

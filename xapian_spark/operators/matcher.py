@@ -211,6 +211,11 @@ class Matcher:
         self.synonym_tf = synonym_tf
         self._leaf_counter = 0
         self._stats_cache: dict[str, tuple[int, int, int] | None] = {}
+        # exact merged-termfreq per synonym term set — valid for the
+        # Matcher's lifetime (the index is immutable), filled either by
+        # mset's batched aggregation or by _syn_tf_exact on first need,
+        # so no term set is ever counted more than once
+        self._syn_tf_cache: dict[tuple[str, ...], int] = {}
         self._ql = 1  # query length of the query being evaluated
 
     # ---------------- public API ----------------
@@ -309,6 +314,8 @@ class Matcher:
                 for r in rows
                 if r["i"] >= 0
             }
+            self._syn_tf_cache.update(syn_tf)
+            syn_tf = self._syn_tf_cache
             agg = next((r["v"] for r in rows if r["i"] == -1), None)
             max_attained = float(agg) if agg is not None else 0.0
             max_possible = self._max_possible(q, 1.0, stats, syn_tf=syn_tf)
@@ -391,10 +398,13 @@ class Matcher:
         """Gather the known-term sets of Synonym nodes whose exact merged
         termfreq _max_possible will need, so the caller can batch the
         counts into an existing aggregation job (keyed by term set — tf
-        depends on nothing else)."""
+        depends on nothing else).  Nothing to gather when the scheme never
+        reads termfreq (uses_termfreq=False) or the set is already cached."""
+        if not getattr(self.scheme, "uses_termfreq", True):
+            return
         if isinstance(q, Q.Synonym) and self.synonym_tf != "estimate":
             known = tuple(t for t in dict.fromkeys(q.terms()) if t in stats)
-            if known:
+            if known and known not in self._syn_tf_cache:
                 out.add(known)
             return
         for c in getattr(q, "children", []):
@@ -435,13 +445,18 @@ class Matcher:
                 return 0.0
             if self.synonym_tf == "estimate":
                 tf = self._synonym_tf_estimate(known, stats)
+            elif not getattr(self.scheme, "uses_termfreq", True):
+                # init() throws termfreq away — any nonzero dummy keeps the
+                # nonzero-bound path and the result is the same upper bound
+                tf = 1
             elif syn_tf is not None and tuple(known) in syn_tf:
                 # exact tf pre-computed inside the caller's aggregation job
                 tf = syn_tf[tuple(known)]
             else:
-                # direct callers without a batched job: one count (the
-                # mset percent path never reaches here)
-                tf = self._decoded_for_terms(known).select("doc_id").distinct().count()
+                # direct callers without a batched job: one count, cached
+                # per term set for the Matcher's lifetime (the mset percent
+                # path never reaches here)
+                tf = self._syn_tf_exact(known)
             if tf == 0:
                 return 0.0
             cf = sum(stats[t][1] for t in known)
@@ -987,6 +1002,20 @@ class Matcher:
         scored.sort(key=lambda x: (x[0], x[1]))
         return [c for _, _, c in scored[: q.n]]
 
+    def _syn_tf_exact(self, known: list[str]) -> int:
+        """Exact merged termfreq (distinct doc count of the OR), computed at
+        most once per term set per Matcher — the result is cached and also
+        reused by mset's batched-aggregation path."""
+        key = tuple(known)
+        if key not in self._syn_tf_cache:
+            self._syn_tf_cache[key] = (
+                self._decoded_for_terms(list(known))
+                .select("doc_id")
+                .distinct()
+                .count()
+            )
+        return self._syn_tf_cache[key]
+
     def _synonym_tf_estimate(self, known: list[str], stats: dict) -> int:
         """The reference's OR-termfreq independence estimator
         (api/queryinternal.cc:425-455): P ← P + P_i − P·P_i in child order,
@@ -1031,10 +1060,17 @@ class Matcher:
                 # job itself (Catalyst's ReuseExchange dedupes the groupBy
                 # shuffle between the two branches).  VERDICT r02 #1.
                 return self._synonym_scored_single_job(merged, factor)
-            # Non-BM25 schemes: the weight object needs the scalar tf at
-            # plan time — keep the exact count (one extra aggregation,
-            # documented; use synonym_tf='estimate' to avoid it).
-            tf = merged.count()
+            if not getattr(self.scheme, "uses_termfreq", True):
+                # init() never reads termfreq (DFR/LM/trivial families) —
+                # zero plan-time jobs here too; an empty merged set scores
+                # itself empty downstream (VERDICT r04 #4)
+                tf = 1
+            else:
+                # tf-using non-BM25 schemes (TfIdf/BM25+/InL2/IfB2/IneB2/
+                # BB2): the weight object needs the scalar tf at plan time —
+                # ONE exact count per term set, cached for the Matcher's
+                # lifetime (use synonym_tf='estimate' to avoid even that).
+                tf = self._syn_tf_exact(known)
             if tf == 0:
                 return self._empty()
         cf = sum(stats[t][1] for t in known)
