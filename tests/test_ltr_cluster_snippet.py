@@ -58,6 +58,101 @@ def test_kmeans_clusters(spark, index):
     assert all(again[r["doc_id"]] == r["cluster"] for r in rows)
 
 
+def _mirror_lcd(oix, mrows, k, digits=4):
+    """Pure-Python replay of LCDClusterer::cluster
+    (cluster/lcd_clusterer.cc:62-153) over the oracle index — the same
+    deterministic-replay pattern that pins kmeans."""
+    import math
+
+    order = [d for d, _ in sorted(mrows, key=lambda t: (-t[1], t[0]))]
+    size = len(order)
+    if size == 0:
+        return {}
+    k_ = min(k, size)
+    docset = set(order)
+    tfm = {
+        t: sum(1 for d in pl if d in docset)
+        for t, pl in oix.postings.items()
+    }
+    wts = {d: {} for d in order}
+    for t, pl in oix.postings.items():
+        if tfm[t] <= 1 or tfm[t] == size:
+            continue
+        for d, poss in pl.items():
+            if d not in docset or len(poss) == 0:
+                continue
+            wts[d][t] = (1.0 + math.log(float(len(poss)))) * math.log(
+                size / float(tfm[t])
+            )
+    mags = {d: sum(w * w for w in sorted(wts[d].values())) for d in order}
+
+    def dist(c, p):
+        if mags[c] == 0.0 or mags[p] == 0.0:
+            return 0.0
+        dot = sum(
+            wts[c][t] * wts[p][t]
+            for t in sorted(set(wts[c]) & set(wts[p]))
+        )
+        return round(1.0 - dot / math.sqrt(mags[c] * mags[p]), digits)
+
+    rank = {d: i for i, d in enumerate(order)}
+    n = k_ - size % k_
+    x = size // k_ + 1
+    remaining = list(order)
+    center = remaining[0]
+    out = {}
+    for cnum in range(1, k_ + 1):
+        num_points = x - 1 if cnum <= n else x
+        cand = sorted(
+            (d for d in remaining if d != center),
+            key=lambda d: (dist(center, d), rank[d]),
+        )
+        members = cand[: num_points - 1] + [center]
+        for d in members:
+            out[d] = cnum - 1
+        if cnum == k_:
+            break
+        remaining = [d for d in remaining if d not in set(members)]
+        center = cand[-1]
+    return out
+
+
+def test_lcd_clusters_match_reference_replay(spark, index, matcher, oracle):
+    """lcd_clusters vs the pure-Python lcd_clusterer.cc mirror: identical
+    assignments, the reference's n·(x−1) + (k−n)·x size split, every mset
+    doc in exactly one cluster."""
+    from xapian_spark.operators.cluster import lcd_clusters
+    from xapian_spark.plans import query as Q
+
+    q = Q.Or([Q.Term("return"), Q.Term("binary_search")])
+    res = matcher.mset(q, maxitems=30)
+    mrows = [(r["doc_id"], r["weight"]) for r in res.df.collect()]
+    size = len(mrows)
+    assert size >= 10
+
+    for k in (4, 7, size + 5):
+        got = {
+            r["doc_id"]: r["cluster"]
+            for r in lcd_clusters(
+                spark, index, res.df, k, round_digits=4
+            ).collect()
+        }
+        want = _mirror_lcd(oracle.ix, mrows, k)
+        assert got == want, f"k={k}"
+        k_ = min(k, size)
+        n, x = k_ - size % k_, size // k_ + 1
+        sizes = sorted(
+            sum(1 for c in got.values() if c == j) for j in range(k_)
+        )
+        assert sizes == sorted([x - 1] * n + [x] * (k_ - n))
+        assert set(got) == {d for d, _ in mrows}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lcd_clusters(spark, index, res.df, 0)
+
+
 def test_snippet_highlights():
     from xapian_spark.functions.snippet import make_snippet
 

@@ -1,10 +1,14 @@
 """Document clustering — the reference's cluster/ subsystem
-(include/xapian/cluster.h:520-674: KMeans + TF-IDF cosine similarity) as
-MLlib KMeans over TF-IDF vectors built from the index's own statistics.
+(include/xapian/cluster.h:520-674: KMeans + LCD + TF-IDF cosine similarity).
 
-The reference clusters an MSet's documents by TF-IDF cosine; here any doc
-set (default: all docs) gets a sparse TF-IDF vector straight from decoded
-postings + dictionary idf — no re-tokenization.
+- kmeans_clusters: MLlib KMeans over TF-IDF vectors built from the index's
+  own statistics (the reference clusters an MSet's documents by TF-IDF
+  cosine; here any doc set gets a sparse TF-IDF vector straight from
+  decoded postings + dictionary idf — no re-tokenization).
+- lloyd_kmeans: deterministic fixed-iteration Lloyd's over an array column
+  (cross-engine reproducible; backs the driver's kmeans oracle entry).
+- lcd_clusters: the LCD clusterer (cluster.h:662-674,
+  cluster/lcd_clusterer.cc — Gil-Costa et al. 2013) over an MSet.
 """
 
 from __future__ import annotations
@@ -87,6 +91,143 @@ def kmeans_clusters(
     return model.transform(vecs).select(
         "doc_id", F.col("prediction").alias("cluster")
     )
+
+
+def lcd_point_vectors(
+    index: IndexTables, mset_ids: DataFrame, size: int
+) -> DataFrame:
+    """Per-doc TF-IDF point vectors exactly as the reference's Point ctor
+    builds them for a clusterer (cluster/cluster.cc:217-244), restricted to
+    the given MSet doc set:
+
+    - termfreq is counted WITHIN the mset (TermListGroup, cluster.cc:55-99);
+    - terms indexing ≤1 or all ``size`` mset docs are dropped;
+    - wt = (1 + ln(wdf)) · ln(size / termfreq); wdf=0 filter terms skipped.
+
+    Returns (doc_id, term, wt) rows — sparse by construction.  Everything is
+    one decode + two hash aggregations; the mset semi-join prunes the
+    postings scan to the mset's blocks first.
+    """
+    dec = (
+        decode_blocks(index.postings)
+        .join(mset_ids.select("doc_id"), "doc_id", "left_semi")
+        .filter(F.col("wdf") > 0)
+    )
+    tf_mset = dec.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("mtf")
+    )
+    return (
+        dec.join(tf_mset, "term")
+        .filter((F.col("mtf") > 1) & (F.col("mtf") < size))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.lit(1.0) + F.log(F.col("wdf").cast("double")))
+                * F.log(F.lit(float(size)) / F.col("mtf").cast("double"))
+            ).alias("wt"),
+        )
+    )
+
+
+def lcd_clusters(
+    spark,
+    index: IndexTables,
+    mset: DataFrame,
+    k: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """LCDClusterer::cluster (cluster/lcd_clusterer.cc:62-153): greedy
+    nearest-neighbour clustering of an MSet into ``k`` clusters of
+    near-equal size — n clusters get x−1 points and k−n get x, where
+    n = k − size%k, x = size/k + 1 (the reference's size-balancing note,
+    lcd_clusterer.cc:89-99).
+
+    Round structure (lcd_clusterer.cc:102-150): the first center is the
+    highest-weight mset doc; each round takes the num_points−1 docs NEAREST
+    to the center (CosineDistance.similarity = 1 − dot/√(magA·magB), 0.0 if
+    either magnitude is 0 — cosine_sim.cc:39-61) into the center's cluster,
+    then the FARTHEST remaining doc becomes the next center.
+
+    Spark shape: point vectors and ALL pairwise dots are computed in ONE
+    distributed pass (self-join on term — the classic sparse-cosine
+    pattern; mset size is bounded by the query's maxitems, so the pair
+    count is ≤ size², not corpus-sized).  The greedy selection itself is
+    inherently sequential and runs driver-side over the collected
+    (size²/2)-entry distance table — zero per-round Spark jobs.
+
+    Determinism note: the reference sorts candidate distances with an
+    unstable std::sort (lcd_clusterer.cc:40-45,124), so its result is
+    unspecified under exact distance ties; here distances are rounded to
+    ``round_digits`` and ties break by mset rank (weight DESC, doc_id ASC)
+    — one valid execution of the reference algorithm, made reproducible.
+
+    Returns (doc_id, cluster) with clusters numbered 0..k−1 in formation
+    order (ClusterSet indexing).
+    """
+    if k <= 0:
+        raise ValueError(
+            "Number of required clusters should be greater than zero"
+        )  # lcd_clusterer.cc:51-53
+    mrows = mset.select("doc_id", "weight").collect()
+    # multimap<weight, Point, greater> iteration order ≡ mset rank order
+    order = [
+        int(r["doc_id"])
+        for r in sorted(mrows, key=lambda r: (-float(r["weight"]), int(r["doc_id"])))
+    ]
+    size = len(order)
+    if size == 0:
+        return spark.createDataFrame([], "doc_id long, cluster int")
+    k_ = min(k, size)
+
+    pts = lcd_point_vectors(index, mset.select("doc_id"), size)
+    mags = {
+        int(r["doc_id"]): float(r["m"])
+        for r in pts.groupBy("doc_id")
+        .agg(F.sum(F.col("wt") * F.col("wt")).alias("m"))
+        .collect()
+    }
+    a = pts.select(
+        F.col("doc_id").alias("a"), "term", F.col("wt").alias("wa")
+    )
+    b = pts.select(
+        F.col("doc_id").alias("b"), "term", F.col("wt").alias("wb")
+    )
+    dots = {
+        (int(r["a"]), int(r["b"])): float(r["dot"])
+        for r in a.join(b, "term")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+        .collect()
+    }
+
+    def dist(c: int, p: int) -> float:
+        mc, mp = mags.get(c, 0.0), mags.get(p, 0.0)
+        if mc == 0.0 or mp == 0.0:
+            return 0.0  # cosine_sim.cc:46-47
+        dot = dots.get((c, p) if c < p else (p, c), 0.0)
+        return round(1.0 - dot / math.sqrt(mc * mp), round_digits)
+
+    rank = {d: i for i, d in enumerate(order)}
+    n = k_ - size % k_
+    x = size // k_ + 1
+    remaining = list(order)
+    center = remaining[0]
+    out: list[tuple[int, int]] = []
+    for cnum in range(1, k_ + 1):
+        num_points = x - 1 if cnum <= n else x
+        cand = sorted(
+            (d for d in remaining if d != center),
+            key=lambda d: (dist(center, d), rank[d]),
+        )
+        members = cand[: num_points - 1] + [center]
+        out.extend((d, cnum - 1) for d in members)
+        if cnum == k_:
+            break
+        remaining = [d for d in remaining if d not in set(members)]
+        center = cand[-1]
+    return spark.createDataFrame(out, "doc_id long, cluster int")
 
 
 def lloyd_kmeans(
