@@ -85,6 +85,49 @@ def test_cli_check(spark, corpus, tmp_path, capsys):
     assert report["ok"] is False and report["dictionary_mismatch_terms"] >= 1
 
 
+def test_reconstruct_text_roundtrip(spark, index, corpus, capsys):
+    """Database::reconstruct_text (database.h:918-941): positional terms →
+    ordered text.  Round-trips corpus docs modulo case/punctuation (the
+    tokenizer's output IS the expected text), honours the position window
+    and the length cap, and is exposed as delve --reconstruct."""
+    from xapian_spark.functions.tokenizer import xapian_tokenize
+    from xapian_spark.operators.matcher import reconstruct_text
+
+    docs = {
+        r["doc_id"]: r["content"]
+        for r in corpus.select("doc_id", "content").limit(3).collect()
+    }
+    for d, text in docs.items():
+        toks = xapian_tokenize(text)
+        got = reconstruct_text(index, d)
+        assert got == " ".join(toks), f"doc {d}"
+
+        # position window: [start_pos, end_pos] inclusive, 1-based
+        win = reconstruct_text(index, d, start_pos=3, end_pos=7)
+        assert win == " ".join(toks[2:7])
+
+        # length cap: stop once >= length bytes (slightly more is fine)
+        capped = reconstruct_text(index, d, length=10)
+        full = " ".join(toks)
+        assert full.startswith(capped) and len(capped) >= min(10, len(full))
+
+
+def test_cli_delve_reconstruct(spark, corpus, tmp_path, capsys):
+    from xapian_spark.functions.tokenizer import xapian_tokenize
+    from xapian_spark.cli import main
+
+    corpus_path = str(tmp_path / "corpus_rt.parquet")
+    corpus.write.mode("overwrite").parquet(corpus_path)
+    ix_dir = str(tmp_path / "ix_rt")
+    assert main(["index", corpus_path, ix_dir]) == 0
+    capsys.readouterr()
+
+    row = corpus.select("doc_id", "content").first()
+    assert main(["delve", ix_dir, "--reconstruct", str(row["doc_id"])]) == 0
+    out = capsys.readouterr().out.rstrip("\n")
+    assert out == " ".join(xapian_tokenize(row["content"]))
+
+
 def test_cli_check_missing_term(spark, corpus, tmp_path, capsys):
     """check must flag a dictionary entry whose postings are entirely GONE
     (and vice versa) — the full-outer join leaves one side NULL there, and

@@ -5,7 +5,9 @@ analogs (reference bin/xapian-*.cc), runnable via
   index   <corpus.parquet> <index_dir> [--content-col C] [--id-col I]
           [--mode xapian|simple] [--stem en] [--stopword w]...
   search  <index_dir> "<query>" [-k N] [--percent] [--prune] [--stem en]
-  delve   <index_dir> [--term T | --doc D | --stats | --allterms [PREFIX]]
+  delve   <index_dir> [--term T | --doc D | --stats | --allterms [PREFIX]
+          | --reconstruct DOCID [--prefix P] [--length N]
+            [--start-pos S] [--end-pos E]]
   compact <segment_root> <out_dir>
   check   <index_dir>            (xapian-check analog: consistency fsck)
   suggest <index_dir> <word>
@@ -82,7 +84,12 @@ def cmd_delve(args) -> int:
 
     spark = _spark()
     ix = load_index(spark, args.index_dir)
-    if args.stats or not (args.term or args.doc or args.allterms is not None):
+    if args.stats or not (
+        args.term
+        or args.doc
+        or args.allterms is not None
+        or args.reconstruct is not None
+    ):
         print(json.dumps(ix.stats))
         print(json.dumps({"vocab": ix.dictionary.count(), "blocks": ix.postings.count()}))
     if args.term:
@@ -106,6 +113,21 @@ def cmd_delve(args) -> int:
             d = d.filter(F.col("term").startswith(args.allterms))
         for r in d.orderBy("term").limit(args.k).collect():
             print(f"{r['term']}\t{r['termfreq']}\t{r['collfreq']}")
+    if args.reconstruct is not None:
+        # Database::reconstruct_text (database.h:918-941) — the 2.0 API a
+        # delve user reaches for to see what a docid's indexed text was
+        from .operators.matcher import reconstruct_text
+
+        print(
+            reconstruct_text(
+                ix,
+                args.reconstruct,
+                length=args.length,
+                prefix=args.prefix,
+                start_pos=args.start_pos,
+                end_pos=args.end_pos,
+            )
+        )
     return 0
 
 
@@ -257,6 +279,11 @@ def main(argv=None) -> int:
     p.add_argument("--term")
     p.add_argument("--doc", type=int)
     p.add_argument("--stats", action="store_true")
+    p.add_argument("--reconstruct", type=int, metavar="DOCID")
+    p.add_argument("--prefix", default="")
+    p.add_argument("--length", type=int, default=0)
+    p.add_argument("--start-pos", type=int, default=0)
+    p.add_argument("--end-pos", type=int, default=0)
     p.add_argument(
         "--allterms", nargs="?", const="", default=None,
         help="dictionary scan, optionally by prefix (allterms_begin)",

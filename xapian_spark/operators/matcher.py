@@ -109,6 +109,80 @@ def decode_blocks(blocks: DataFrame, with_positions: bool = False) -> DataFrame:
     return blocks.select(*cols).mapInPandas(_decode, DECODED_SCHEMA)
 
 
+def reconstruct_text(
+    index,
+    doc_id: int,
+    length: int = 0,
+    prefix: str = "",
+    start_pos: int = 0,
+    end_pos: int = 0,
+) -> str:
+    """Database::reconstruct_text (include/xapian/database.h:918-941,
+    backends/databaseinternal.cc:489-577): rebuild a document's text from
+    its stored term positions — "missing punctuation and most
+    capitalisation" by construction.
+
+    Term selection mirrors the reference exactly: with no ``prefix``,
+    unprefixed terms only (term < 'A' or term ≥ '[' — capital-prefixed
+    terms including Z-stems are skipped, databaseinternal.cc:517-526); with
+    a ``prefix``, terms in that prefix range, emitted with the prefix
+    stripped.  Positions outside [start_pos, end_pos] are dropped
+    (end_pos=0 → unbounded).  The merged (position, term) walk appends ' '
+    for consecutive positions and a newline for gaps, ignores extra terms
+    at an already-emitted position (smallest term wins, matching the
+    reference's min-heap on (pos, term)), and stops once ``length`` bytes
+    are reached (0 → unlimited).
+
+    Spark shape: the postings scan is pruned by block docid-range metadata
+    AND the term-range predicate (both parquet pushdowns) before any
+    binary column is decoded; only the one doc's (term, positions) rows —
+    bounded by its doc length — reach the driver for the final merge.
+    """
+    post = index.postings
+    if "positions" not in post.columns or "pos_counts" not in post.columns:
+        raise ValueError(
+            "reconstruct_text needs an index built with_positions=True"
+        )
+    blocks = post.filter(
+        (F.col("first_docid") <= doc_id) & (F.col("last_docid") >= doc_id)
+    )
+    if prefix:
+        blocks = blocks.filter(F.col("term").startswith(prefix))
+    else:
+        blocks = blocks.filter((F.col("term") < "A") | (F.col("term") >= "["))
+    rows = (
+        decode_blocks(blocks, with_positions=True)
+        .filter(F.col("doc_id") == doc_id)
+        .select("term", "positions")
+        .collect()
+    )
+    end = end_pos if end_pos else None
+    pairs: list[tuple[int, str]] = []
+    for r in rows:
+        t = r["term"][len(prefix):] if prefix else r["term"]
+        for p in r["positions"] or []:
+            p = int(p)
+            if p < start_pos or (end is not None and p > end):
+                continue
+            pairs.append((p, t))
+    pairs.sort()
+    out: list[str] = []
+    size = 0
+    old = start_pos - 1
+    for pos, term in pairs:
+        delta = pos - old
+        if delta:
+            if size:
+                out.append(" " if delta == 1 else "\n")
+                size += 1
+            out.append(term)
+            size += len(term)
+        if length and size >= length:
+            break
+        old = pos
+    return "".join(out)
+
+
 def _ordered_weight_sum(df: DataFrame) -> list:
     """groupBy(doc_id) aggregates: deterministic leaf-ordered float64 sum +
     match count.  df must have (doc_id, ord, weight)."""
