@@ -289,3 +289,69 @@ def test_snippet_decay_prefers_distinct_terms():
     )
     s = make_snippet(text, {"needle": 1.0, "thread": 1.0}, length=30)
     assert "thread" in s
+
+
+def test_snippet_phrase_pegging():
+    """pump()'s phrase pegging (termgenerator_internal.cc:447-463): a
+    completed exact phrase contributes max_tw * n_terms relevance pegged
+    onto its FIRST word, and the whole phrase is wrapped in one hi pair
+    (drain()'s phrase_len, :731-744)."""
+    from xapian_spark.functions.snippet import make_snippet
+
+    # the phrase occurrence outranks scattered constituent words
+    text = (
+        ("pad " * 30)
+        + "hello pad world pad hello "
+        + ("pad " * 30)
+        + "say hello world today "
+        + ("pad " * 30)
+    )
+    s = make_snippet(text, {}, length=30, phrases=[["hello", "world"]])
+    assert "<b>hello world</b>" in s
+    # scattered constituents are NOT highlighted (no loose terms in query)
+    assert s.count("<b>") == 1
+
+    # a 3-term phrase wraps all three words in one pair
+    s3 = make_snippet(
+        "alpha beta gamma delta", {}, length=200,
+        phrases=[["beta", "gamma", "delta"]],
+    )
+    assert "<b>beta gamma delta</b>" in s3
+
+    # phrase + loose query: the loose term still highlights on its own,
+    # the phrase occurrence highlights as a unit
+    s4 = make_snippet(
+        "hello there and hello world again", {"hello": 1.0}, length=200,
+        phrases=[["hello", "world"]],
+    )
+    assert "<b>hello</b> there" in s4
+    assert "<b>hello world</b>" in s4
+
+    # incomplete phrase (wrong order) does not match
+    s5 = make_snippet(
+        "world hello pad", {}, length=200, phrases=[["hello", "world"]]
+    )
+    assert "<b>" not in s5
+
+
+def test_snippet_terms_extraction():
+    """check_query analog (termgenerator_internal.cc:751-803): tight
+    OP_PHRASE of terms -> phrase; everything else -> loose terms."""
+    from xapian_spark.functions.snippet import snippet_terms
+    from xapian_spark.plans import query as Q
+
+    q = Q.Or(
+        [
+            Q.Phrase([Q.Term("hello"), Q.Term("world")]),
+            Q.Term("greeting"),
+            Q.AndNot(Q.Term("kept"), Q.Term("negated")),
+        ]
+    )
+    loose, phrases = snippet_terms(q, {"greeting": 2.5})
+    assert phrases == [["hello", "world"]]
+    assert loose["greeting"] == 2.5 and loose["kept"] == 1.0
+    # a LOOSE phrase (window > n_subqs) decomposes into loose terms
+    loose2, phrases2 = snippet_terms(
+        Q.Phrase([Q.Term("a"), Q.Term("b")], window=5)
+    )
+    assert phrases2 == [] and set(loose2) == {"a", "b"}

@@ -31,11 +31,20 @@ through the deque, zero-weight extension, DECAY=2.0 per-term re-visit
 damping); the oracle-checked ``select_window`` keeps the static-relevance
 sweep the driver's SQL replays.
 
-Remaining divergences from SnipPipe: no phrase-relevance pegging
-(pump():445-460 — our term-relevance API has no phrase structure); the
-sweep is exhaustive (the reference's non-EXHAUSTIVE mode may stop early,
-:505-511); highlights wrap the whole whitespace-run rather than just its
-word chars; BACKGROUND_MODEL relevance defaults are not reproduced.
+Phrase-relevance pegging (pump():445-463) is implemented: pass
+``phrases=[["hello", "world"], ...]`` (or let ``snippet_terms`` extract
+tight OP_PHRASE runs from a Query tree, mirroring check_query :751-803).
+A completed phrase occurrence contributes ``max_tw * n_terms`` relevance
+pegged onto its FIRST word — so it leaves the rolling sum exactly when
+the phrase starts to exit the window — and the whole phrase is wrapped
+in ONE hi_start/hi_end pair (drain()'s phrase_len, :731-744).
+
+Remaining divergences from SnipPipe: the sweep is exhaustive (the
+reference's non-EXHAUSTIVE mode may stop early, :505-511); highlights
+wrap the whole whitespace-run rather than just its word chars;
+BACKGROUND_MODEL relevance defaults are not reproduced; the phrase ring
+buffer matches a word if ANY of its tokens equals the phrase term (the
+reference sees exactly one term per word segment).
 """
 
 from __future__ import annotations
@@ -122,6 +131,44 @@ def _is_sentence_start(text: str, pos: int) -> bool:
     return i >= 0 and text[i] in _SENT_END
 
 
+def snippet_terms(
+    query, termweights: dict[str, float] | None = None
+) -> tuple[dict[str, float], list[list[str]]]:
+    """check_query analog (termgenerator_internal.cc:751-803): walk a
+    Query tree and split it into (loose term → relevance, exact phrases).
+    A tight OP_PHRASE (window == n_subqs, all Term children) becomes a
+    phrase; every other node recurses and its leaf terms become loose
+    terms weighted by ``termweights`` (default 1.0).  Wildcard / fuzzy
+    subqueries are skipped (no pattern relevance here — the reference
+    gives them max_tw + min_tw, :891-905)."""
+    from ..plans import query as Q
+
+    loose: dict[str, float] = {}
+    phrases: list[list[str]] = []
+
+    def walk(q):
+        if isinstance(q, Q.Term):
+            loose[q.term] = float((termweights or {}).get(q.term, 1.0))
+            return
+        if isinstance(q, Q.Phrase):
+            kids = list(q.children)
+            window = q.window if q.window is not None else len(kids)
+            if window == len(kids) and all(
+                isinstance(k, Q.Term) for k in kids
+            ):
+                phrases.append([k.term for k in kids])
+                return
+        for k in getattr(q, "children", None) or []:
+            walk(k)
+        for attr in ("left", "right", "subquery"):
+            sub = getattr(q, attr, None)
+            if isinstance(sub, Q.Query):
+                walk(sub)
+
+    walk(query)
+    return loose, phrases
+
+
 def make_snippet(
     text: str,
     terms: dict[str, float] | list[str],
@@ -130,6 +177,7 @@ def make_snippet(
     hi_end: str = "</b>",
     omit: str = "...",
     mode: str = "xapian",
+    phrases: list[list[str]] | None = None,
 ) -> str:
     """Best-window snippet with highlights — SnipPipe edge semantics (see
     module docstring for the rule list and remaining divergences)."""
@@ -138,15 +186,19 @@ def make_snippet(
     if not text:
         return ""
     tok = xapian_tokenize if mode == "xapian" else simple_tokenize
+    from collections import deque
 
-    if select_window(text, terms, length=length, mode=mode) is None:
-        # no matches: lead of the document
-        if len(text) <= length:
-            return _xml_escape(text)
-        return _xml_escape(text[:length].rsplit(" ", 1)[0]) + omit
+    phrases = [list(p) for p in (phrases or []) if len(p) > 1]
+    # Phrase relevance = max_tw * n_terms (snippet():882-886) where
+    # max_tw is the largest loose termweight scaled by 1.015625, or 1.0
+    # when no weights are known (:858-866).
+    max_tw = max(terms.values(), default=0.0)
+    max_tw = max_tw * 1.015625 if max_tw > 0 else 1.0
+    phrase_cells = [[max_tw * len(p)] for p in phrases]
+    longest = max((len(p) for p in phrases), default=0)
 
     # Full pump (SnipPipe::pump, termgenerator_internal.cc:443-511, minus
-    # phrase pegging/early exit): EVERY word flows through the window,
+    # the non-EXHAUSTIVE early exit): EVERY word flows through the window,
     # zero-weight words extend the best window (`sum >= best_sum` — "we
     # don't extend a snippet over terms with 0 weight" is exactly why the
     # reference compares >=), evictions keep end − begin ≤ length+1 (the
@@ -157,44 +209,93 @@ def make_snippet(
     # then subtracts (:475-478) — so repeats of one term contribute
     # geometrically less and a window of distinct terms outranks one
     # stuffed with a single term.
-    words = []  # (start, term_end, cell | None)
+    words = []  # [run_start, run_end, term_end, cell | None, highlight]
     cells: dict[str, list[float]] = {}
+    # ring of the previous longest-1 words' token sets for the phrase
+    # check (snippet():907-946's `phrase` ring buffer)
+    ring: deque | None = deque(maxlen=longest - 1) if longest > 1 else None
     for m in re.finditer(r"\S+", text):
         run = m.group()
+        toks = tok(run)
         cell = None
-        for t in tok(run):
-            r = terms.get(t)
-            if r is not None:
-                cell = cells.setdefault(t, [float(r)])
+        h = 0
+        # exact-phrase check FIRST (snippet():928-946): this word ends a
+        # phrase whose earlier terms match the preceding words in order
+        for pi, p in enumerate(phrases):
+            n = len(p) - 1
+            if (
+                p[-1] in toks
+                and ring is not None
+                and len(ring) >= n
+                and all(p[n - 1 - k] in ring[-1 - k] for k in range(n))
+            ):
+                cell = phrase_cells[pi]
+                h = len(p)
                 break
+        if h == 0:
+            for t in toks:
+                r = terms.get(t)
+                if r is not None:
+                    cell = cells.setdefault(t, [float(r)])
+                    h = 1
+                    break
         # term_end excludes trailing sentence/clause punctuation (the
         # reference's term_end stops at the term's last word char)
         e = m.end()
         while e > m.start() + 1 and text[e - 1] in ".?!,;:":
             e -= 1
-        words.append((m.start(), e, cell))
-    from collections import deque
+        words.append([m.start(), m.end(), e, cell, h])
+        if ring is not None:
+            ring.append(set(toks))
 
     DECAY = 2.0
     pipe: deque = deque()
     begin = 0
     cur = 0.0
     best_sum, best_begin, best_end = 0.0, 0, 0
-    for s, e, cell in words:
-        pipe.append((s, e, cell))
-        if cell is not None:
-            cur += cell[0]
-            cell[0] /= DECAY
+    matchfound = False
+    for w in words:
+        _rs, _rend, e, cell, h = w
+        if h:
+            matchfound = True
+        if h > 1:
+            # pump():447-463 — the final term of a phrase is entering the
+            # window: peg the phrase's relevance onto its FIRST word so
+            # it leaves `sum` exactly when the phrase starts to exit.
+            if len(pipe) >= h - 1:
+                ps = pipe[-(h - 1)]
+                if ps[3] is not None:
+                    ps[3][0] *= DECAY
+                    cur -= ps[3][0]
+                cur += cell[0]
+                ps[3] = cell
+                ps[4] = h
+                cell[0] /= DECAY
+            w[3] = None
+            w[4] = 0
+            pipe.append(w)
+        else:
+            pipe.append(w)
+            if cell is not None:
+                cur += cell[0]
+                cell[0] /= DECAY
         while e - begin > length + 1:
-            ws, we, wc = pipe.popleft()
-            if wc is not None:
-                wc[0] *= DECAY
-                cur -= wc[0]
-            begin = we
+            front = pipe.popleft()
+            if front[3] is not None:
+                front[3][0] *= DECAY
+                cur -= front[3][0]
+            begin = front[2]
             if not pipe:
                 break
         if cur >= best_sum:
             best_sum, best_begin, best_end = cur, begin, e
+
+    if not matchfound:
+        # no matches: lead of the document
+        if len(text) <= length:
+            return _xml_escape(text)
+        return _xml_escape(text[:length].rsplit(" ", 1)[0]) + omit
+
     wend = best_end
     wstart = best_begin
 
@@ -242,18 +343,33 @@ def make_snippet(
             if kept:
                 tend = j
             tail_omit = tend < len(text)
-    window = text[wstart:tend]
-
-    # highlight matches inside the window
+    # render from the pump-annotated words so a phrase highlight wraps
+    # all its words in ONE hi pair (drain()'s phrase_len, :731-744);
+    # loose words keep the whole-run wrap (documented divergence)
     out = []
-    last = 0
-    for m in re.finditer(r"\S+", window):
-        toks = tok(m.group())
-        if any(t in terms for t in toks):
-            out.append(_xml_escape(window[last : m.start()]))
-            out.append(hi_start + _xml_escape(m.group()) + hi_end)
-            last = m.end()
-    out.append(_xml_escape(window[last:]))
+    last = wstart
+    open_rem = 0  # words left (incl. current) inside an open highlight
+    for rs, rend, te, _cell, h in words:
+        if te <= best_begin or te > best_end:
+            continue
+        gs = min(max(rs, last), tend)
+        if gs > last:
+            out.append(_xml_escape(text[last:gs]))
+            last = gs
+        if open_rem == 0 and h:
+            open_rem = h
+            out.append(hi_start)
+        seg_end = min(max(rend, last), tend)
+        out.append(_xml_escape(text[last:seg_end]))
+        last = seg_end
+        if open_rem:
+            open_rem -= 1
+            if open_rem == 0:
+                out.append(hi_end)
+    if open_rem:
+        out.append(hi_end)
+    if tend > last:
+        out.append(_xml_escape(text[last:tend]))
     snip = "".join(out)
     if not _is_sentence_start(text, wstart):
         snip = omit + snip
@@ -270,6 +386,7 @@ def snippets_for_mset(
     text_col: str = "content",
     length: int = 200,
     mode: str = "xapian",
+    phrases: list[list[str]] | None = None,
 ):
     """Attach a snippet column to a (small) top-k MSet DataFrame."""
     from pyspark.sql import functions as F
@@ -281,7 +398,9 @@ def snippets_for_mset(
     @pandas_udf(StringType())
     def snip(texts: pd.Series) -> pd.Series:
         return texts.map(
-            lambda t: make_snippet(t, tdict, length=length, mode=mode)
+            lambda t: make_snippet(
+                t, tdict, length=length, mode=mode, phrases=phrases
+            )
             if isinstance(t, str)
             else ""
         )
