@@ -279,6 +279,20 @@ class AnnLshIndex:
         self._base.unpersist()
 
 
+_PAIRS_BCAST_CACHE: dict = {}
+
+
+def clear_pairs_broadcast_cache() -> None:
+    """Destroy and drop cosine_pairs_topk's cached matrix broadcasts —
+    call after replacing the embeddings a cached plan reads."""
+    while _PAIRS_BCAST_CACHE:
+        _, old = _PAIRS_BCAST_CACHE.popitem()
+        try:
+            old.destroy()
+        except Exception:
+            pass
+
+
 def cosine_pairs_topk(
     emb: DataFrame,
     k: int = 15,
@@ -312,11 +326,32 @@ def cosine_pairs_topk(
     import pandas as pd
 
     spark = emb.sparkSession
-    rows = emb.select(id_col, vec_col).collect()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    b_all = spark.sparkContext.broadcast((ids, mat, norms))
+    # Re-collecting + re-broadcasting the matrix on every call both wastes
+    # the warm path and accumulates dead broadcasts on the driver.  Cache
+    # by the input plan's semantic hash (segments/parquet inputs are
+    # immutable by the engine's conventions; clear_pairs_broadcast_cache()
+    # resets).  Evicted entries are destroyed.
+    try:
+        key = (id(spark.sparkContext), emb.semanticHash(), id_col, vec_col)
+    except Exception:
+        key = None
+    b_all = _PAIRS_BCAST_CACHE.get(key) if key is not None else None
+    if b_all is None:
+        rows = emb.select(id_col, vec_col).collect()
+        ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+        mat = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        b_all = spark.sparkContext.broadcast((ids, mat, norms))
+        if key is not None:
+            while len(_PAIRS_BCAST_CACHE) >= 4:
+                _, old = _PAIRS_BCAST_CACHE.popitem()
+                try:
+                    # unpersist (not destroy): a lazily-held plan may still
+                    # reference it; Spark re-ships from the driver if so
+                    old.unpersist()
+                except Exception:
+                    pass
+            _PAIRS_BCAST_CACHE[key] = b_all
     pad, margin = 4, 1e-9
 
     def gen(batches):
