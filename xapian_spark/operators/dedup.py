@@ -293,13 +293,21 @@ def ngram_jaccard_pairs(
     if join_on_hash:
         sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
     if max_shingle_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
-            .select("shingle")
+        # One windowed count over the shingle shuffle instead of a df
+        # aggregate + semi-join: same capped universe, one less pass over
+        # the big table and ~5 fewer AQE jobs (measured 3.0 s → 1.0 s at
+        # sf0.1), and the self-join below reuses the shingle partitioning
+        # this shuffle established.  WindowExec's per-key buffer is
+        # spillable, so a hot shingle costs disk, not memory.
+        from pyspark.sql.window import Window
+
+        sh = (
+            sh.withColumn(
+                "_df", F.count("*").over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("_df") <= max_shingle_df)
+            .drop("_df")
         )
-        sh = sh.join(rare, "shingle", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("a")
