@@ -101,3 +101,31 @@ def test_impact_tiers_reject_sparse_docid_space(spark, corpus):
     # same ids are fine without tiers
     ix = build_index(spark, sparse, impact_tiers=1, block_size=16)
     assert ix.stats["doccount"] == corpus.count()
+
+
+def test_prune_auto_cost_switch(matcher):
+    """prune='auto' (BENCH/BASELINE.md crossover): exhaustive below the
+    posting-volume floor, pruned above it, rank-identical either way."""
+    q = Q.Or([Q.Term("return"), Q.Term("if")])
+    # bench-scale corpus is far below the 10^8 default floor -> exhaustive
+    exact = [
+        (r["doc_id"], round(r["weight"], 9))
+        for r in matcher.mset_df(q, 10, prune="auto").collect()
+    ]
+    assert matcher.last_prune_decision == "exhaustive"
+    # drop the floor below this corpus's posting volume -> pruned path
+    matcher.wand_auto_min_postings = 1
+    try:
+        pruned = [
+            (r["doc_id"], round(r["weight"], 9))
+            for r in matcher.mset_df(q, 10, prune="auto").collect()
+        ]
+        assert matcher.last_prune_decision == "pruned"
+    finally:
+        del matcher.wand_auto_min_postings
+    assert [d for d, _ in exact] == [d for d, _ in pruned]
+    for (_, we), (_, wp) in zip(exact, pruned):
+        assert abs(we - wp) < 1e-9
+    # prune=False never flips regardless of stats
+    matcher.mset_df(q, 5, prune=False).collect()
+    assert matcher.last_prune_decision == "exhaustive"

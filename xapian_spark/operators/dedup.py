@@ -231,13 +231,17 @@ def minhash_candidate_pairs(
             "doc_id", F.concat_ws("|", *cols).alias("band_key")
         )
         if max_bucket_size is not None:
-            ok = (
-                banded.groupBy("band_key")
-                .agg(F.count("*").alias("m"))
-                .filter(F.col("m") <= max_bucket_size)
-                .select("band_key")
+            # windowed count on the band_key shuffle the self-join reuses
+            # (same one-pass cap as ngram_jaccard_pairs' max_shingle_df)
+            from pyspark.sql.window import Window
+
+            banded = (
+                banded.withColumn(
+                    "_m", F.count("*").over(Window.partitionBy("band_key"))
+                )
+                .filter(F.col("_m") <= max_bucket_size)
+                .drop("_m")
             )
-            banded = banded.join(ok, "band_key", "left_semi")
         j = (
             banded.alias("a")
             .join(banded.alias("b"), "band_key")

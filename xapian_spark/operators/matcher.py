@@ -545,7 +545,16 @@ class Matcher:
             return w.maxpart(wdf_max, dlb)
         return 0.0
 
-    def mset_df(self, q: Q.Query, k: int, prune: bool = False) -> DataFrame:
+    #: ``prune='auto'`` crossover: the pruned path's fixed job overhead
+    #: (θ+tier collect, AQE stage materializations, rescore joins) beats
+    #: exhaustive decode only when the query's posting lists are ≥ ~10^8
+    #: entries (measured r04, BENCH/BASELINE.md "WAND crossover") — two
+    #: orders past the bench corpus, exactly the 10^12-doc regime.
+    WAND_AUTO_MIN_POSTINGS = 100_000_000
+
+    def mset_df(
+        self, q: Q.Query, k: int, prune: bool | str = False
+    ) -> DataFrame:
         """Top-k as a pure DataFrame (TakeOrderedAndProject, no collect) —
         the path bench + the driver contract use.
 
@@ -555,11 +564,19 @@ class Matcher:
         the maxweight pruning of matcher/postlisttree.h:131-190 at block
         granularity.  Scores may differ from the exhaustive path only in
         float64 summation order (≤1 ulp per term).
+
+        ``prune='auto'`` picks per-query from dictionary stats (no extra
+        Spark job — the same memoized termfreq lookup every scheme's init
+        needs): pruned only when Σ termfreq ≥ ``wand_auto_min_postings``
+        (instance override of WAND_AUTO_MIN_POSTINGS), i.e. when decode
+        volume dwarfs the pruned path's fixed overhead.  The choice taken
+        is recorded in ``self.last_prune_decision``.
         """
         q = Q.normalize(q)
         if isinstance(q, Q.MatchNothing):
             return self.spark.createDataFrame([], "doc_id long, weight double")
         self._ql = max(_query_len(q), 1)
+        self.last_prune_decision = "exhaustive"
         if prune and k > 0 and self.index.tombstones is None:
             from ..functions.weights import BM25Scheme
 
@@ -567,7 +584,19 @@ class Matcher:
             if isinstance(self.scheme, BM25Scheme):
                 leaf_terms = self._or_of_terms(q)
                 if leaf_terms is not None:
-                    return self._wand(leaf_terms, k)
+                    if prune == "auto":
+                        stats = self._term_stats([t for t, _ in leaf_terms])
+                        total_tf = sum(ts[0] for ts in stats.values())
+                        floor = getattr(
+                            self,
+                            "wand_auto_min_postings",
+                            self.WAND_AUTO_MIN_POSTINGS,
+                        )
+                        if total_tf < floor:
+                            leaf_terms = None
+                    if leaf_terms is not None:
+                        self.last_prune_decision = "pruned"
+                        return self._wand(leaf_terms, k)
         self._leaf_counter = 0
         matched = self._tombfilter(self._eval(q, factor=1.0))
         matched = self._apply_sumextra(matched, q)
