@@ -259,9 +259,13 @@ def test_snippet_edge_rules():
     assert s2.startswith("...")
     s4 = make_snippet("the needle sits here" + " filler" * 60, ["needle"], length=25)
     assert s4.endswith("...")
-    # sentence-ending punctuation stays attached inside the window
+    # sentence-ending punctuation stays in the window but OUTSIDE the
+    # highlight (drain():721-744 — hi_end right after term_end)
     s3 = make_snippet("the needle sits." + " filler" * 60, ["sits"], length=40)
-    assert "sits." in s3
+    assert "<b>sits</b>." in s3
+    # leading punctuation likewise outside; +/# suffixes stay inside
+    assert "(<b>needle</b>)," in make_snippet("see (needle), ok", ["needle"])
+    assert "<b>C++</b>" in make_snippet("C++ rocks", ["c++"])
     # drain's sentence_boundary scan: start-of-text and after ". " are
     # sentence starts; mid-sentence is not
     assert _is_sentence_start("a. b", 0)

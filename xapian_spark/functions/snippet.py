@@ -39,12 +39,17 @@ pegged onto its FIRST word — so it leaves the rolling sum exactly when
 the phrase starts to exit the window — and the whole phrase is wrapped
 in ONE hi_start/hi_end pair (drain()'s phrase_len, :731-744).
 
+Highlights exclude inter-word characters like drain() (:721-744):
+hi_start lands on the word's first word char, hi_end right after its
+term_end, so ``(sits.)`` highlights as ``(<b>sits</b>.)`` — with the
+tokenizer's ``+``/``#`` suffixes kept attached (``<b>c++</b>``).
+
 Remaining divergences from SnipPipe: the sweep is exhaustive (the
-reference's non-EXHAUSTIVE mode may stop early, :505-511); highlights
-wrap the whole whitespace-run rather than just its word chars;
-BACKGROUND_MODEL relevance defaults are not reproduced; the phrase ring
-buffer matches a word if ANY of its tokens equals the phrase term (the
-reference sees exactly one term per word segment).
+reference's non-EXHAUSTIVE mode may stop early, :505-511 — an opt-in
+optimization; the reference's DEFAULT flags include SNIPPET_EXHAUSTIVE,
+mset.h:422); BACKGROUND_MODEL relevance defaults are not reproduced; the
+phrase ring buffer matches a word if ANY of its tokens equals the phrase
+term (the reference sees exactly one term per word segment).
 """
 
 from __future__ import annotations
@@ -239,10 +244,11 @@ def make_snippet(
                     cell = cells.setdefault(t, [float(r)])
                     h = 1
                     break
-        # term_end excludes trailing sentence/clause punctuation (the
-        # reference's term_end stops at the term's last word char)
+        # term_end excludes trailing sentence/clause/closing punctuation
+        # (the reference's term_end stops at the term's last word char;
+        # '+' and '#' stay attached so c++/c# highlight whole)
         e = m.end()
-        while e > m.start() + 1 and text[e - 1] in ".?!,;:":
+        while e > m.start() + 1 and text[e - 1] in ".?!,;:)]}\"'":
             e -= 1
         words.append([m.start(), m.end(), e, cell, h])
         if ring is not None:
@@ -343,9 +349,10 @@ def make_snippet(
             if kept:
                 tend = j
             tail_omit = tend < len(text)
-    # render from the pump-annotated words so a phrase highlight wraps
-    # all its words in ONE hi pair (drain()'s phrase_len, :731-744);
-    # loose words keep the whole-run wrap (documented divergence)
+    # render from the pump-annotated words; a phrase highlight wraps all
+    # its words in ONE hi pair (drain()'s phrase_len, :731-744), and
+    # highlights exclude inter-word characters: hi_start lands on the
+    # word's first word char, hi_end right after its term_end (:721-744)
     out = []
     last = wstart
     open_rem = 0  # words left (incl. current) inside an open highlight
@@ -357,15 +364,26 @@ def make_snippet(
             out.append(_xml_escape(text[last:gs]))
             last = gs
         if open_rem == 0 and h:
+            # leading punctuation stays outside the highlight
+            wcs = last
+            while wcs < te and not _WORDCHAR_RX.match(text[wcs]):
+                wcs += 1
+            if wcs > last:
+                out.append(_xml_escape(text[last:wcs]))
+                last = wcs
             open_rem = h
             out.append(hi_start)
-        seg_end = min(max(rend, last), tend)
-        out.append(_xml_escape(text[last:seg_end]))
-        last = seg_end
+        closing = False
         if open_rem:
             open_rem -= 1
-            if open_rem == 0:
-                out.append(hi_end)
+            closing = open_rem == 0
+        # the closing word's trailing punctuation falls outside the pair;
+        # mid-phrase words keep their inter-word chars inside it
+        seg_end = min(max(te if closing else rend, last), tend)
+        out.append(_xml_escape(text[last:seg_end]))
+        last = seg_end
+        if closing:
+            out.append(hi_end)
     if open_rem:
         out.append(hi_end)
     if tend > last:
