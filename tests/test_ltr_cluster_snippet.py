@@ -359,3 +359,40 @@ def test_snippet_terms_extraction():
         Q.Phrase([Q.Term("a"), Q.Term("b")], window=5)
     )
     assert phrases2 == [] and set(loose2) == {"a", "b"}
+
+
+def test_snippet_background_model(index):
+    """SNIPPET_BACKGROUND_MODEL (termgenerator_internal.cc snippet():
+    995-1030): rare corpus terms get positive relevance, near-ubiquitous
+    ones negative, and the window follows informative text even when no
+    query term matches."""
+    import math
+
+    from xapian_spark.functions.snippet import background_tf, make_snippet
+
+    # formula: with N = size+1, tf=1 -> positive; tf close to N -> negative
+    bg = {"rareword": 1, "the": 300}
+    n = 1000
+    length = 30
+    max_tw = 1.0
+    r_rare = max_tw * math.log((n + 1 - 1) / 1) / ((length + 1) * math.log(n + 1))
+    assert r_rare > 0
+    r_hot = max_tw * math.log((n + 1 - 990) / 990) / ((length + 1) * math.log(n + 1))
+    assert r_hot < 0  # near-ubiquitous terms repel the window
+
+    # no query match: the window lands on the rare word, not the doc lead
+    text = ("the the the " * 10) + "rareword here " + ("the the the " * 10)
+    s = make_snippet(
+        text, ["absent_term"], length=length,
+        background=bg, collection_size=n,
+    )
+    assert "rareword" in s
+    assert "<b>" not in s  # background words are never highlighted
+    # without background: falls back to the document lead
+    s2 = make_snippet(text, ["absent_term"], length=length)
+    assert "rareword" not in s2
+
+    # helper builds (tf dict, doccount) from the index for given texts
+    tf, size = background_tf(index, ["binary_search the"])
+    assert size == index.stats["doccount"]
+    assert tf.get("binary_search", 0) >= 1

@@ -44,12 +44,19 @@ hi_start lands on the word's first word char, hi_end right after its
 term_end, so ``(sits.)`` highlights as ``(<b>sits</b>.)`` — with the
 tokenizer's ``+``/``#`` suffixes kept attached (``<b>c++</b>``).
 
+SNIPPET_BACKGROUND_MODEL (snippet():995-1030) is available via
+``background=`` (term → corpus termfreq, built by ``background_tf``):
+non-query words get ``max_tw·log((N−tf)/tf)/((length+1)·log N)``
+relevance so the window prefers informative text, including when no
+query term matches at all.  Opt-in here (the reference defaults it on).
+
 Remaining divergences from SnipPipe: the sweep is exhaustive (the
 reference's non-EXHAUSTIVE mode may stop early, :505-511 — an opt-in
 optimization; the reference's DEFAULT flags include SNIPPET_EXHAUSTIVE,
-mset.h:422); BACKGROUND_MODEL relevance defaults are not reproduced; the
-phrase ring buffer matches a word if ANY of its tokens equals the phrase
-term (the reference sees exactly one term per word segment).
+mset.h:422); the background model matches unstemmed tokens only (the
+reference retries the stem); the phrase ring buffer matches a word if
+ANY of its tokens equals the phrase term (the reference sees exactly
+one term per word segment).
 """
 
 from __future__ import annotations
@@ -174,6 +181,36 @@ def snippet_terms(
     return loose, phrases
 
 
+def background_tf(
+    index, texts, mode: str = "xapian"
+) -> tuple[dict[str, int], int]:
+    """Build make_snippet's ``background`` inputs from an index: corpus
+    termfreq for every token appearing in ``texts`` (the top-k docs being
+    snippeted — a bounded vocabulary, so the dictionary lookup collects
+    ≤ a few thousand rows) plus the collection size.  The analog of
+    Enquire::db.get_termfreq() feeding snippet_bg_relevance
+    (termgenerator_internal.cc snippet():1007-1021)."""
+    from pyspark.sql import functions as F
+
+    tok = xapian_tokenize if mode == "xapian" else simple_tokenize
+    vocab = set()
+    for t in texts:
+        if isinstance(t, str):
+            for run in t.split():
+                vocab.update(tok(run))
+    if not vocab:
+        return {}, int(index.stats["doccount"])
+    rows = (
+        index.dictionary.filter(F.col("term").isin(sorted(vocab)))
+        .select("term", "termfreq")
+        .collect()
+    )
+    return (
+        {r["term"]: int(r["termfreq"]) for r in rows},
+        int(index.stats["doccount"]),
+    )
+
+
 def make_snippet(
     text: str,
     terms: dict[str, float] | list[str],
@@ -183,9 +220,22 @@ def make_snippet(
     omit: str = "...",
     mode: str = "xapian",
     phrases: list[list[str]] | None = None,
+    background: dict[str, int] | None = None,
+    collection_size: int | None = None,
 ) -> str:
     """Best-window snippet with highlights — SnipPipe edge semantics (see
-    module docstring for the rule list and remaining divergences)."""
+    module docstring for the rule list and remaining divergences).
+
+    ``background`` (term → corpus termfreq) enables the reference's
+    SNIPPET_BACKGROUND_MODEL (snippet():995-1030): a non-query word gets
+    relevance ``max_tw·log((N−tf)/tf) / ((length+1)·log N)`` with
+    ``N = collection_size + 1`` — rare corpus terms pull the window
+    toward informative text (and terms indexing most of the corpus push
+    it away with negative relevance).  Use ``background_tf`` to build the
+    dict from an index.  Opt-in here; the reference enables it by default
+    (mset.h:422)."""
+    import math
+
     if not isinstance(terms, dict):
         terms = {t: 1.0 for t in terms}
     if not text:
@@ -201,6 +251,14 @@ def make_snippet(
     max_tw = max_tw * 1.015625 if max_tw > 0 else 1.0
     phrase_cells = [[max_tw * len(p)] for p in phrases]
     longest = max((len(p) for p in phrases), default=0)
+    bg_cells: dict[str, list[float]] = {}
+    bg_n = None
+    if background is not None:
+        bg_n = (
+            collection_size
+            if collection_size is not None
+            else max(background.values(), default=0)
+        ) + 1
 
     # Full pump (SnipPipe::pump, termgenerator_internal.cc:443-511, minus
     # the non-EXHAUSTIVE early exit): EVERY word flows through the window,
@@ -243,6 +301,24 @@ def make_snippet(
                 if r is not None:
                     cell = cells.setdefault(t, [float(r)])
                     h = 1
+                    break
+        if h == 0 and background is not None:
+            # background document model (snippet():995-1030): relevance
+            # without highlight; cached per term like snippet_bg_relevance
+            for t in toks:
+                bg = bg_cells.get(t)
+                if bg is None and t in background:
+                    tf = background[t]
+                    r = 0.0
+                    if tf:
+                        r = (
+                            max_tw
+                            * math.log((bg_n - tf) / tf)
+                            / ((length + 1) * math.log(bg_n))
+                        )
+                    bg = bg_cells[t] = [r]
+                if bg is not None:
+                    cell = bg
                     break
         # term_end excludes trailing sentence/clause/closing punctuation
         # (the reference's term_end stops at the term's last word char;
@@ -296,8 +372,8 @@ def make_snippet(
         if cur >= best_sum:
             best_sum, best_begin, best_end = cur, begin, e
 
-    if not matchfound:
-        # no matches: lead of the document
+    if not matchfound and (background is None or best_end == 0):
+        # no matches (and no background-selected window): document lead
         if len(text) <= length:
             return _xml_escape(text)
         return _xml_escape(text[:length].rsplit(" ", 1)[0]) + omit
@@ -405,6 +481,8 @@ def snippets_for_mset(
     length: int = 200,
     mode: str = "xapian",
     phrases: list[list[str]] | None = None,
+    background: dict[str, int] | None = None,
+    collection_size: int | None = None,
 ):
     """Attach a snippet column to a (small) top-k MSet DataFrame."""
     from pyspark.sql import functions as F
@@ -417,7 +495,13 @@ def snippets_for_mset(
     def snip(texts: pd.Series) -> pd.Series:
         return texts.map(
             lambda t: make_snippet(
-                t, tdict, length=length, mode=mode, phrases=phrases
+                t,
+                tdict,
+                length=length,
+                mode=mode,
+                phrases=phrases,
+                background=background,
+                collection_size=collection_size,
             )
             if isinstance(t, str)
             else ""
