@@ -396,3 +396,20 @@ def test_snippet_background_model(index):
     tf, size = background_tf(index, ["binary_search the"])
     assert size == index.stats["doccount"]
     assert tf.get("binary_search", 0) >= 1
+
+
+def test_snippet_non_exhaustive_early_stop():
+    """pump():505-511: with exhaustive=False the sweep stops once a
+    scoring window exists and the scan has moved past it, so a better
+    match later in the document is not found; exhaustive=True finds it."""
+    from xapian_spark.functions.snippet import make_snippet
+
+    text = (
+        "needle alone here " + ("pad " * 40)
+        + "needle needle thread " + ("pad " * 10)
+    )
+    terms = {"needle": 1.0, "thread": 1.0}
+    s_ex = make_snippet(text, terms, length=25)
+    assert "thread" in s_ex  # exhaustive finds the richer window
+    s_ne = make_snippet(text, terms, length=25, exhaustive=False)
+    assert "thread" not in s_ne and "<b>needle</b>" in s_ne

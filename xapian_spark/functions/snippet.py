@@ -50,13 +50,15 @@ non-query words get ``max_tw·log((N−tf)/tf)/((length+1)·log N)``
 relevance so the window prefers informative text, including when no
 query term matches at all.  Opt-in here (the reference defaults it on).
 
-Remaining divergences from SnipPipe: the sweep is exhaustive (the
-reference's non-EXHAUSTIVE mode may stop early, :505-511 — an opt-in
-optimization; the reference's DEFAULT flags include SNIPPET_EXHAUSTIVE,
-mset.h:422); the background model matches unstemmed tokens only (the
-reference retries the stem); the phrase ring buffer matches a word if
-ANY of its tokens equals the phrase term (the reference sees exactly
-one term per word segment).
+``exhaustive=False`` enables the non-EXHAUSTIVE early stop
+(pump():505-511): once a scoring window exists and the sweep has moved
+past it, later text is not considered.  The default True matches the
+reference's default flags (SNIPPET_EXHAUSTIVE, mset.h:422).
+
+Remaining divergences from SnipPipe: the background model matches
+unstemmed tokens only (the reference retries the stem); the phrase ring
+buffer matches a word if ANY of its tokens equals the phrase term (the
+reference sees exactly one term per word segment).
 """
 
 from __future__ import annotations
@@ -222,6 +224,7 @@ def make_snippet(
     phrases: list[list[str]] | None = None,
     background: dict[str, int] | None = None,
     collection_size: int | None = None,
+    exhaustive: bool = True,
 ) -> str:
     """Best-window snippet with highlights — SnipPipe edge semantics (see
     module docstring for the rule list and remaining divergences).
@@ -371,6 +374,10 @@ def make_snippet(
                 break
         if cur >= best_sum:
             best_sum, best_begin, best_end = cur, begin, e
+        elif not exhaustive and best_sum > 0 and best_end < begin:
+            # non-EXHAUSTIVE early stop (pump():505-511): we found
+            # something and we aren't still looking near it
+            break
 
     if not matchfound and (background is None or best_end == 0):
         # no matches (and no background-selected window): document lead
