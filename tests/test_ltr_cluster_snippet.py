@@ -413,3 +413,20 @@ def test_snippet_non_exhaustive_early_stop():
     assert "thread" in s_ex  # exhaustive finds the richer window
     s_ne = make_snippet(text, terms, length=25, exhaustive=False)
     assert "thread" not in s_ne and "<b>needle</b>" in s_ne
+
+
+def test_snippet_stem_retry():
+    """check_term's second try (snippet():948-962): a Zstem query term
+    highlights the document's unstemmed word when a stemmer is given."""
+    from xapian_spark.functions.snippet import make_snippet
+    from xapian_spark.functions.stemmers import get_stemmer
+
+    en = get_stemmer("en")
+    assert en("running") == "run"
+    s = make_snippet(
+        "we are running fast", {"Zrun": 2.0}, stemmer=en
+    )
+    assert "<b>running</b>" in s
+    # without the stemmer the Zstem term cannot match
+    s2 = make_snippet("we are running fast", {"Zrun": 2.0})
+    assert "<b>" not in s2

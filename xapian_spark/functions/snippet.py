@@ -55,10 +55,13 @@ query term matches at all.  Opt-in here (the reference defaults it on).
 past it, later text is not considered.  The default True matches the
 reference's default flags (SNIPPET_EXHAUSTIVE, mset.h:422).
 
-Remaining divergences from SnipPipe: the background model matches
-unstemmed tokens only (the reference retries the stem); the phrase ring
-buffer matches a word if ANY of its tokens equals the phrase term (the
-reference sees exactly one term per word segment).
+With a ``stemmer=`` callable, loose-term and background lookups retry
+the ``Z``-prefixed stem like check_term / the bg cache (:948-962,
+:1007-1013), so a parsed query's Zstem terms highlight unstemmed words.
+
+Remaining divergence from SnipPipe: the phrase ring buffer matches a
+word if ANY of its tokens equals the phrase term (the reference sees
+exactly one term per word segment).
 """
 
 from __future__ import annotations
@@ -184,7 +187,7 @@ def snippet_terms(
 
 
 def background_tf(
-    index, texts, mode: str = "xapian"
+    index, texts, mode: str = "xapian", stemmer=None
 ) -> tuple[dict[str, int], int]:
     """Build make_snippet's ``background`` inputs from an index: corpus
     termfreq for every token appearing in ``texts`` (the top-k docs being
@@ -200,6 +203,8 @@ def background_tf(
         if isinstance(t, str):
             for run in t.split():
                 vocab.update(tok(run))
+    if stemmer is not None:
+        vocab |= {"Z" + stemmer(t) for t in list(vocab)}
     if not vocab:
         return {}, int(index.stats["doccount"])
     rows = (
@@ -225,6 +230,7 @@ def make_snippet(
     background: dict[str, int] | None = None,
     collection_size: int | None = None,
     exhaustive: bool = True,
+    stemmer=None,
 ) -> str:
     """Best-window snippet with highlights — SnipPipe edge semantics (see
     module docstring for the rule list and remaining divergences).
@@ -299,16 +305,28 @@ def make_snippet(
                 h = len(p)
                 break
         if h == 0:
+            # loose-term check: unstemmed, then Z+stem (check_term twice,
+            # snippet():948-962) — a parsed probabilistic query's Zstem
+            # terms highlight the document's unstemmed words
             for t in toks:
-                r = terms.get(t)
-                if r is not None:
-                    cell = cells.setdefault(t, [float(r)])
+                key = t if t in terms else None
+                if key is None and stemmer is not None:
+                    zs = "Z" + stemmer(t)
+                    if zs in terms:
+                        key = zs
+                if key is not None:
+                    cell = cells.setdefault(key, [float(terms[key])])
                     h = 1
                     break
         if h == 0 and background is not None:
             # background document model (snippet():995-1030): relevance
-            # without highlight; cached per term like snippet_bg_relevance
+            # without highlight; cached per term like snippet_bg_relevance;
+            # termfreq falls back to the stem (:1007-1013)
             for t in toks:
+                if t not in background and stemmer is not None:
+                    zs = "Z" + stemmer(t)
+                    if zs in background:
+                        t = zs
                 bg = bg_cells.get(t)
                 if bg is None and t in background:
                     tf = background[t]
