@@ -1492,6 +1492,40 @@ WHERE rn = 1""",
 )
 
 
+_RECON_DOCS = (0, 7, 42, 123, 321)
+
+
+def _q_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Database::reconstruct_text over a fixed doc set
+    (include/xapian/database.h:918-941): with the simple tokenizer every
+    token gets a consecutive position, so the rebuilt text is the doc's
+    tokens joined by single spaces — mirrored in SQL by a position-ordered
+    string_agg.  Exercises the positional decode + driver merge end-to-end
+    against the raw corpus."""
+    from .operators.matcher import reconstruct_text
+
+    m = get_matcher(spark, sf_dir)
+    rows = [(int(d), reconstruct_text(m.index, int(d))) for d in _RECON_DOCS]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, rtext string"
+    ).orderBy("doc_id")
+
+
+_register(
+    "reconstruct_text",
+    _q_reconstruct,
+    _PRELUDE
+    + f"""
+, tokpos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p
+  FROM arr WHERE doc_id IN {_RECON_DOCS}
+)
+SELECT doc_id, string_agg(term, ' ' ORDER BY p) AS rtext
+FROM tokpos WHERE term <> ''
+GROUP BY doc_id ORDER BY doc_id""",
+)
+
+
 _KM_K, _KM_ITERS = 4, 3
 
 
@@ -1559,3 +1593,110 @@ c0 AS (SELECT i.cluster, e.dim, e.val FROM init i JOIN e ON e.vec_id = i.vec_id)
 
 
 _register("kmeans_cluster_sizes", _q_clusters, _kmeans_sql())
+
+
+_LCD_K, _LCD_MSET = 4, 20
+_LCD_TERMS = ["hash", "join", "merge"]
+
+
+def _q_lcd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LCDClusterer::cluster (cluster/lcd_clusterer.cc:62-153) over the
+    BM25 top-20 mset for hash∨join∨merge: greedy nearest-neighbour rounds
+    with within-mset TF-IDF cosine distances (cluster.cc:217-244,
+    cosine_sim.cc:39-61).  The mset weights are rounded to ROUND digits
+    BEFORE ranking (same discipline as _topk) so both engines agree on the
+    member set and rank order; distances are rounded inside lcd_clusters."""
+    from .operators.cluster import lcd_clusters
+
+    m = get_matcher(spark, sf_dir)
+    q = Q.Or([Q.Term(t) for t in _LCD_TERMS])
+    mset = _topk(m, q, _LCD_MSET).select(
+        "doc_id", F.col("score").alias("weight")
+    )
+    return (
+        lcd_clusters(spark, m.index, mset, _LCD_K)
+        .select(F.col("doc_id").cast("long"), F.col("cluster").cast("int"))
+        .orderBy("doc_id")
+    )
+
+
+def _lcd_sql() -> str:
+    """Unrolled greedy LCD mirror: with size=_LCD_MSET and k=_LCD_K the
+    reference's balancing (lcd_clusterer.cc:89-99) gives a FIXED per-round
+    member count, so the sequential rounds unroll into plain CTEs (same
+    trick as the kmeans oracle) — candidates of the current center sorted
+    by (dist, mset rank), nearest num_points−1 join the cluster, the
+    farthest becomes the next center."""
+    size, k = _LCD_MSET, _LCD_K
+    n, x = k - size % k, size // k + 1
+    body = [
+        f"""
+, msel AS MATERIALIZED (
+  SELECT doc_id, round(sum(s), {ROUND}) AS w
+  FROM scored GROUP BY doc_id ORDER BY w DESC, doc_id ASC LIMIT {size}
+), rk AS MATERIALIZED (
+  SELECT doc_id, row_number() OVER (ORDER BY w DESC, doc_id ASC) - 1 AS rank
+  FROM msel
+), mpost AS MATERIALIZED (
+  SELECT p.doc_id, p.term, p.wdf FROM post p JOIN msel USING (doc_id)
+), mtf AS MATERIALIZED (
+  SELECT term, count(DISTINCT doc_id) AS mtf FROM mpost GROUP BY 1
+), pvec AS MATERIALIZED (
+  SELECT p.doc_id, p.term,
+         (1.0 + ln(p.wdf::DOUBLE)) * ln({size}.0 / t.mtf::DOUBLE) AS wt
+  FROM mpost p JOIN mtf t USING (term) WHERE t.mtf > 1 AND t.mtf < {size}
+), mag AS MATERIALIZED (
+  SELECT doc_id, sum(wt * wt) AS m FROM pvec GROUP BY 1
+), dots AS MATERIALIZED (
+  SELECT x.doc_id AS a, y.doc_id AS b, sum(x.wt * y.wt) AS dot
+  FROM pvec x JOIN pvec y ON x.term = y.term AND x.doc_id <> y.doc_id
+  GROUP BY 1, 2
+), dmat AS MATERIALIZED (
+  SELECT pa.doc_id AS a, pb.doc_id AS b,
+         CASE WHEN coalesce(ma.m, 0) = 0 OR coalesce(mb.m, 0) = 0 THEN 0.0
+              ELSE round(1.0 - coalesce(d.dot, 0) / sqrt(ma.m * mb.m), {ROUND})
+         END AS dist
+  FROM msel pa JOIN msel pb ON pa.doc_id <> pb.doc_id
+  LEFT JOIN dots d ON d.a = pa.doc_id AND d.b = pb.doc_id
+  LEFT JOIN mag ma ON ma.doc_id = pa.doc_id
+  LEFT JOIN mag mb ON mb.doc_id = pb.doc_id
+), rem1 AS MATERIALIZED (SELECT doc_id FROM msel)
+, ctr1 AS MATERIALIZED (SELECT doc_id FROM rk WHERE rank = 0)"""
+    ]
+    for r in range(1, k + 1):
+        num_points = x - 1 if r <= n else x
+        body.append(
+            """
+, cand{r} AS MATERIALIZED (
+  SELECT d.b AS doc_id,
+         row_number() OVER (ORDER BY d.dist, r2.rank) AS rn,
+         count(*) OVER () AS last
+  FROM dmat d JOIN rk r2 ON r2.doc_id = d.b
+  WHERE d.a = (SELECT doc_id FROM ctr{r})
+    AND d.b IN (SELECT doc_id FROM rem{r})
+), mem{r} AS MATERIALIZED (
+  SELECT doc_id FROM cand{r} WHERE rn <= {near}
+  UNION ALL SELECT doc_id FROM ctr{r}
+)""".format(r=r, near=num_points - 1)
+        )
+        if r < k:
+            body.append(
+                """
+, ctr{nx} AS MATERIALIZED (SELECT doc_id FROM cand{r} WHERE rn = last)
+, rem{nx} AS MATERIALIZED (
+  SELECT doc_id FROM rem{r}
+  WHERE doc_id NOT IN (SELECT doc_id FROM mem{r}))""".format(r=r, nx=r + 1)
+            )
+    union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {r - 1} AS cluster FROM mem{r}" for r in range(1, k + 1)
+    )
+    body.append(
+        f"""
+SELECT doc_id::BIGINT AS doc_id, cluster::INTEGER AS cluster FROM (
+  {union})
+ORDER BY doc_id"""
+    )
+    return _bm25_sql(_LCD_TERMS, "".join(body))
+
+
+_register("lcd_clusters", _q_lcd, _lcd_sql())
