@@ -430,3 +430,37 @@ def test_snippet_stem_retry():
     # without the stemmer the Zstem term cannot match
     s2 = make_snippet("we are running fast", {"Zrun": 2.0})
     assert "<b>" not in s2
+
+
+def test_snippet_phrase_ring_token_accurate():
+    """The phrase ring holds one entry per TERM like the reference's
+    one-term-per-word pipe (snippet():907-946): a phrase cannot skip an
+    intervening token of a multi-token run, but CAN complete across (or
+    inside) a run whose tokens are consecutive in emission order."""
+    from xapian_spark.functions.snippet import make_snippet
+
+    # "foo-bar" tokenizes to foo, bar — "foo baz" is NOT consecutive
+    # (bar intervenes), so the phrase must not match
+    s = make_snippet(
+        "pad foo-bar baz pad", {}, length=200, phrases=[["foo", "baz"]]
+    )
+    assert "<b>" not in s
+
+    # but ["bar", "baz"] IS consecutive across the run boundary
+    s2 = make_snippet(
+        "pad foo-bar baz pad", {}, length=200, phrases=[["bar", "baz"]]
+    )
+    assert "<b>foo-bar baz</b>" in s2
+
+    # and a phrase completing entirely INSIDE one run highlights that run
+    s3 = make_snippet(
+        "pad foo-bar pad", {}, length=200, phrases=[["foo", "bar"]]
+    )
+    assert "<b>foo-bar</b>" in s3
+
+    # three terms spanning two runs: ring lookback crosses runs in order
+    s4 = make_snippet(
+        "pad alpha-beta gamma pad", {}, length=200,
+        phrases=[["alpha", "beta", "gamma"]],
+    )
+    assert "<b>alpha-beta gamma</b>" in s4

@@ -59,9 +59,11 @@ With a ``stemmer=`` callable, loose-term and background lookups retry
 the ``Z``-prefixed stem like check_term / the bg cache (:948-962,
 :1007-1013), so a parsed query's Zstem terms highlight unstemmed words.
 
-Remaining divergence from SnipPipe: the phrase ring buffer matches a
-word if ANY of its tokens equals the phrase term (the reference sees
-exactly one term per word segment).
+The phrase ring buffer holds one entry per TERM (not per whitespace
+run), matching the reference's one-term-per-word pipe: a phrase only
+completes when its terms appear consecutively in token order — tokens
+of a multi-token run ("foo-bar") are consecutive, but a phrase cannot
+skip over an intervening token.  No known SnipPipe divergences remain.
 """
 
 from __future__ import annotations
@@ -283,26 +285,47 @@ def make_snippet(
     # stuffed with a single term.
     words = []  # [run_start, run_end, term_end, cell | None, highlight]
     cells: dict[str, list[float]] = {}
-    # ring of the previous longest-1 words' token sets for the phrase
-    # check (snippet():907-946's `phrase` ring buffer)
+    # ring of the previous longest-1 TERMS for the phrase check
+    # (snippet():907-946's `phrase` ring buffer).  The reference's pipe
+    # sees exactly one term per word segment, so the ring holds individual
+    # tokens in emission order — a multi-token whitespace run ("foo-bar")
+    # contributes each token as its own ring entry, tagged with the run it
+    # came from so pegging/highlighting can count RUNS covered.
     ring: deque | None = deque(maxlen=longest - 1) if longest > 1 else None
-    for m in re.finditer(r"\S+", text):
+    for wi, m in enumerate(re.finditer(r"\S+", text)):
         run = m.group()
         toks = tok(run)
         cell = None
         h = 0
-        # exact-phrase check FIRST (snippet():928-946): this word ends a
-        # phrase whose earlier terms match the preceding words in order
+        # exact-phrase check FIRST (snippet():928-946): a term of this run
+        # ends a phrase whose earlier terms match the preceding terms in
+        # order — first any earlier tokens of the SAME run, then the ring
         for pi, p in enumerate(phrases):
-            n = len(p) - 1
-            if (
-                p[-1] in toks
-                and ring is not None
-                and len(ring) >= n
-                and all(p[n - 1 - k] in ring[-1 - k] for k in range(n))
-            ):
-                cell = phrase_cells[pi]
-                h = len(p)
+            for j in range(len(toks) - 1, -1, -1):
+                if toks[j] != p[-1]:
+                    continue
+                ti, ri, ok, first_wi = j - 1, 0, True, wi
+                for term in reversed(p[:-1]):
+                    if ti >= 0:
+                        if toks[ti] != term:
+                            ok = False
+                            break
+                        ti -= 1
+                        continue
+                    ri += 1
+                    if ring is None or ri > len(ring):
+                        ok = False
+                        break
+                    tokv, twi = ring[-ri]
+                    if tokv != term:
+                        ok = False
+                        break
+                    first_wi = twi
+                if ok:
+                    cell = phrase_cells[pi]
+                    h = wi - first_wi + 1  # runs covered incl. this one
+                    break
+            if h:
                 break
         if h == 0:
             # loose-term check: unstemmed, then Z+stem (check_term twice,
@@ -349,7 +372,8 @@ def make_snippet(
             e -= 1
         words.append([m.start(), m.end(), e, cell, h])
         if ring is not None:
-            ring.append(set(toks))
+            for t in toks:
+                ring.append((t, wi))
 
     DECAY = 2.0
     pipe: deque = deque()
