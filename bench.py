@@ -204,6 +204,7 @@ HEADLINE = [
     "lang_id",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "embed_nn_pairs_topk",
 ]
 

@@ -237,3 +237,67 @@ def test_arrow_signatures_match_hof(emb):
     b1 = {(r["vec_id"], r["band"], r["bucket_key"]) for r in hof.buckets.collect()}
     b2 = {(r["vec_id"], r["band"], r["bucket_key"]) for r in arr.buckets.collect()}
     assert b1 == b2
+
+
+class TestIvf:
+    """AnnIvfIndex: the coarse-quantizer scale path.  Approximate overall
+    but EXACT within the probed cells — so besides a recall bound we can
+    assert exactness properties the LSH tests can't."""
+
+    @pytest.fixture(scope="class")
+    def ivf(self, emb):
+        from xapian_spark.operators.similarity import AnnIvfIndex
+
+        return AnnIvfIndex(emb, n_cells=8, iters=2)
+
+    def test_cells_partition_the_corpus(self, ivf, emb):
+        n = emb.count()
+        assert ivf.members.count() == n
+        per_cell = {
+            r["cluster"]: r["count"]
+            for r in ivf.members.groupBy("cluster").count().collect()
+        }
+        assert sum(per_cell.values()) == n
+        assert set(per_cell) <= set(range(8))
+
+    def test_recall_vs_brute_force(self, spark, emb, ivf):
+        from xapian_spark.operators.similarity import brute_force_topk
+
+        qvec = emb.filter("vec_id = 3").first()["embedding"]
+        exact = [r["vec_id"] for r in brute_force_topk(emb, qvec, k=10).collect()]
+        got = [r["vec_id"] for r in ivf.query(qvec, k=10, nprobe=2).collect()]
+        # clustered corpus: the query's own cell holds its true neighbors
+        assert len(set(exact) & set(got)) >= 7
+
+    def test_exact_within_probed_cells(self, spark, emb, ivf):
+        """Members of probed cells are ranked identically to brute force
+        restricted to those cells (no approximation inside the probe)."""
+        from pyspark.sql import functions as F
+        from xapian_spark.operators.similarity import brute_force_topk
+
+        qvec = emb.filter("vec_id = 3").first()["embedding"]
+        cells = ivf.probe_cells(qvec, 2)
+        restricted = ivf.members.filter(F.col("cluster").isin(cells))
+        exact = brute_force_topk(restricted, qvec, k=10).collect()
+        got = ivf.query(qvec, k=10, nprobe=2).collect()
+        assert [(r["vec_id"], r["cos"]) for r in got] == [
+            (r["vec_id"], r["cos"]) for r in exact
+        ]
+
+    def test_probe_all_cells_equals_brute_force(self, spark, emb, ivf):
+        from xapian_spark.operators.similarity import brute_force_topk
+
+        qvec = emb.filter("vec_id = 7").first()["embedding"]
+        exact = [(r["vec_id"], r["cos"]) for r in brute_force_topk(emb, qvec, k=10).collect()]
+        got = [(r["vec_id"], r["cos"]) for r in ivf.query(qvec, k=10, nprobe=8).collect()]
+        assert got == exact
+
+    def test_deterministic_replay(self, emb, ivf):
+        """Same input → identical centroids and probe choice (the property
+        the driver's SQL oracle relies on)."""
+        from xapian_spark.operators.similarity import AnnIvfIndex
+
+        ivf2 = AnnIvfIndex(emb, n_cells=8, iters=2, persist=False)
+        assert ivf.centroids == ivf2.centroids
+        qvec = emb.filter("vec_id = 11").first()["embedding"]
+        assert ivf.probe_cells(qvec, 3) == ivf2.probe_cells(qvec, 3)

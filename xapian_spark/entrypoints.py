@@ -1159,6 +1159,94 @@ FROM pairs GROUP BY vec_id ORDER BY cos DESC, vec_id ASC LIMIT 10""",
 )
 
 
+_IVF_CELLS, _IVF_ITERS, _IVF_NPROBE = 8, 2, 2
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (AnnIvfIndex): a deterministic Lloyd's coarse
+    quantizer partitions the corpus into _IVF_CELLS cells at index time;
+    the query exactly re-ranks only its _IVF_NPROBE nearest cells'
+    members.  The data-adaptive counterpart of ann_lsh_topk's
+    signature buckets — both are the bounded-candidate scale paths over
+    the brute-force baseline."""
+    if ("ivf", sf_dir) not in _ANN_CACHE:
+        from .operators.similarity import AnnIvfIndex
+
+        _ANN_CACHE[("ivf", sf_dir)] = AnnIvfIndex(
+            _embeddings(spark, sf_dir),
+            n_cells=_IVF_CELLS,
+            iters=_IVF_ITERS,
+        )
+    return _ANN_CACHE[("ivf", sf_dir)].query(
+        _qvec(spark, sf_dir), k=10, nprobe=_IVF_NPROBE
+    )
+
+
+def _ivf_sql() -> str:
+    """Replay of the IVF pipeline: the kmeans-oracle unroll (rounded
+    distances / centroid coordinates, ties to the smaller cluster) for
+    the quantizer, final rounded centroids, the query's nprobe nearest
+    cells, exact cosine over their members."""
+    parts = [
+        """
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+),
+init AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+),
+c0 AS (SELECT i.cluster, e.dim, e.val FROM init i JOIN e ON e.vec_id = i.vec_id)""".format(k=_IVF_CELLS)
+    ]
+    for i in range(1, _IVF_ITERS + 1):
+        parts.append(
+            """, d{i} AS (
+  SELECT e.vec_id, c.cluster,
+         round(sum((e.val - c.val) * (e.val - c.val)), 4) AS dist
+  FROM e JOIN c{p} c ON e.dim = c.dim GROUP BY e.vec_id, c.cluster
+), a{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM d{i})
+  WHERE rn = 1
+)""".format(i=i, p=i - 1)
+        )
+        if i < _IVF_ITERS:
+            parts.append(
+                """, c{i} AS (
+  SELECT a.cluster, e.dim, round(avg(e.val), 4) AS val
+  FROM a{i} a JOIN e ON e.vec_id = a.vec_id GROUP BY a.cluster, e.dim
+)""".format(i=i)
+            )
+    parts.append(
+        """, cf AS (
+  SELECT a.cluster, e.dim, round(avg(e.val), 4) AS val
+  FROM a{i} a JOIN e ON e.vec_id = a.vec_id GROUP BY a.cluster, e.dim
+), qd AS (
+  SELECT c.cluster, round(sum((q.val - c.val) * (q.val - c.val)), 4) AS dist
+  FROM cf c JOIN e q ON q.dim = c.dim AND q.vec_id = 0 GROUP BY c.cluster
+), probe AS (SELECT cluster FROM qd ORDER BY dist, cluster LIMIT {np}),
+cand AS (
+  SELECT vec_id FROM a{i} WHERE cluster IN (SELECT cluster FROM probe)
+), q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e2.vec_id, unnest(e2.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+  FROM embeddings e2 JOIN cand USING (vec_id), q
+)
+SELECT vec_id, round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos
+FROM pairs GROUP BY vec_id ORDER BY cos DESC, vec_id ASC LIMIT 10""".format(
+            i=_IVF_ITERS, np=_IVF_NPROBE
+        )
+    )
+    return "".join(parts)
+
+
+_register("ann_ivf_topk", _q_ann_ivf, _ivf_sql())
+
+
 # ---- Relevance expansion (ESet/Bo1) + spelling ------------------------------
 
 _RSET = tuple(range(10))  # fixed deterministic relevance set

@@ -491,3 +491,111 @@ def lsh_bucketed_topk(
             n_planes=n_planes, bands=bands, persist=False,
         )
     return index.query(qvec, k=k, round_digits=round_digits)
+
+
+class AnnIvfIndex:
+    """IVF-flat ANN — the coarse-quantizer scale path (the inverted-file
+    design of Jégou/Douze/Schmid, "Product Quantization for Nearest
+    Neighbor Search", PAMI 2011 §IV; Faiss IndexIVFFlat is the canonical
+    implementation): a k-means quantizer assigns every vector to one of
+    ``n_cells`` centroid cells at INDEX time, and a query exactly
+    re-ranks only the members of its ``nprobe`` nearest cells — a
+    1/(n_cells/nprobe) fraction of the corpus — instead of scanning all.
+
+    Complements AnnLshIndex: LSH buckets by random-hyperplane signature
+    (data-independent), IVF adapts its partition to the data's density.
+
+    Engineered for cross-engine replay like lloyd_kmeans (deterministic
+    seed-free init, every distance / centroid coordinate HALF_UP-rounded
+    to ``round_digits``), so the driver's DuckDB oracle can replay the
+    quantizer, the probe choice, and the re-rank exactly.
+
+    Scale shape: the quantizer is the distributed Lloyd's of
+    lloyd_kmeans (narrow no-shuffle assignment against driver-held
+    centroids, one groupBy(cluster, dim) per update); the cell-tagged
+    member table is partition-pruned at query time by a plain
+    ``cluster IN (...)`` predicate (parquet row-group / partition
+    pushdown when persisted partitionBy("cluster")); the re-rank is the
+    JVM-side cosine of brute_force_topk over the probed fraction only.
+    At 100 TB: n_cells grows with the corpus (e.g. 4096 cells over 10^9
+    vectors keeps a 2-probe scan at ~0.05% of rows) and the quantizer
+    trains on a sample — the assignment pass stays one narrow map.
+    """
+
+    def __init__(
+        self,
+        emb: DataFrame,
+        n_cells: int = 8,
+        iters: int = 2,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        round_digits: int = 4,
+        persist: bool = True,
+    ):
+        from .cluster import lloyd_kmeans
+
+        self.id_col, self.vec_col = id_col, vec_col
+        self.round_digits = round_digits
+        assigned = lloyd_kmeans(
+            emb, k=n_cells, iters=iters, id_col=id_col,
+            vec_col=vec_col, round_digits=round_digits,
+        )
+        self.members = emb.select(id_col, vec_col).join(assigned, id_col)
+        if persist:
+            self.members = self.members.persist()
+        # final per-cell centroids (rounded per-dim means of the FINAL
+        # assignment) — the probe targets; k·dim doubles on the driver
+        rows = (
+            self.members.select(
+                "cluster", F.posexplode(vec_col).alias("dim", "val")
+            )
+            .groupBy("cluster", "dim")
+            .agg(
+                F.round(
+                    F.avg(F.col("val").cast("double")), round_digits
+                ).alias("v")
+            )
+            .collect()
+        )
+        byc: dict[int, dict[int, float]] = {}
+        for r in rows:
+            byc.setdefault(r["cluster"], {})[r["dim"]] = r["v"]
+        self.centroids = {
+            c: [d[i] for i in sorted(d)] for c, d in byc.items()
+        }
+
+    def probe_cells(self, qvec: list[float], nprobe: int) -> list[int]:
+        """The nprobe cells nearest the query (squared euclidean against
+        the rounded centroids, HALF_UP-rounded like SQL round(); ties to
+        the smaller cell id — the same discipline as the assignment)."""
+        import decimal
+
+        quant = decimal.Decimal(1).scaleb(-self.round_digits)
+        scored = []
+        for c, cent in sorted(self.centroids.items()):
+            d = math.fsum(
+                (float(q) - x) * (float(q) - x)
+                for q, x in zip(qvec, cent)
+            )
+            d = float(
+                decimal.Decimal(repr(d)).quantize(
+                    quant, rounding=decimal.ROUND_HALF_UP
+                )
+            )
+            scored.append((d, c))
+        return [c for _, c in sorted(scored)[:nprobe]]
+
+    def query(
+        self,
+        qvec: list[float],
+        k: int = 10,
+        nprobe: int = 2,
+        round_digits: int | None = None,
+    ) -> DataFrame:
+        rd = self.round_digits if round_digits is None else round_digits
+        cells = self.probe_cells(qvec, nprobe)
+        cand = self.members.filter(F.col("cluster").isin(cells))
+        return brute_force_topk(
+            cand, qvec, k=k, id_col=self.id_col,
+            vec_col=self.vec_col, round_digits=rd,
+        )
