@@ -301,3 +301,35 @@ class TestIvf:
         assert ivf.centroids == ivf2.centroids
         qvec = emb.filter("vec_id = 11").first()["embedding"]
         assert ivf.probe_cells(qvec, 3) == ivf2.probe_cells(qvec, 3)
+
+    def test_knn_join_matches_single_queries(self, spark, emb, ivf):
+        """The batch path returns exactly what per-query .query() does."""
+        from pyspark.sql import functions as F
+
+        qids = [3, 7, 11]
+        queries = (
+            emb.filter(F.col("vec_id").isin(qids))
+            .select(
+                F.col("vec_id").alias("qid"),
+                F.col("embedding").alias("qvec"),
+            )
+        )
+        batch = ivf.knn_join(queries, k=5, nprobe=2).collect()
+        got = {
+            q: [(r["vec_id"], r["cos"]) for r in sorted(rows, key=lambda r: r["rank"])]
+            for q, rows in _group(batch, "qid").items()
+        }
+        for q in qids:
+            qvec = emb.filter(F.col("vec_id") == q).first()["embedding"]
+            single = [
+                (r["vec_id"], r["cos"])
+                for r in ivf.query(qvec, k=5, nprobe=2).collect()
+            ]
+            assert got[q] == single, f"qid {q}"
+
+
+def _group(rows, key):
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r[key], []).append(r)
+    return out

@@ -599,3 +599,72 @@ class AnnIvfIndex:
             cand, qvec, k=k, id_col=self.id_col,
             vec_col=self.vec_col, round_digits=rd,
         )
+
+    def knn_join(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 2,
+        qid_col: str = "qid",
+        qvec_col: str = "qvec",
+        round_digits: int | None = None,
+    ) -> DataFrame:
+        """Batch ANN: for every query row, its top-k neighbours among the
+        members of its ``nprobe`` nearest cells.
+
+        Output: (qid, vec_id, cos, rank) — the same contract as
+        AnnLshIndex.knn_join.  Fully distributed, no driver-side loop:
+        the centroid table (n_cells·dim doubles) broadcasts to every
+        query row, probe choice is a windowed bottom-nprobe per query,
+        candidates come from a plain (cluster) equi-join against the
+        cell-tagged members, re-rank is a windowed top-k per query.
+        """
+        rd = self.round_digits if round_digits is None else round_digits
+        spark = queries.sparkSession
+        cents = spark.createDataFrame(
+            [
+                (c, [float(x) for x in v])
+                for c, v in sorted(self.centroids.items())
+            ],
+            "cluster int, _cent array<double>",
+        )
+        qv = F.col(qvec_col)
+        dist = F.round(
+            F.aggregate(
+                F.zip_with(
+                    qv,
+                    F.col("_cent"),
+                    lambda a, b: (a.cast("double") - b)
+                    * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            rd,
+        )
+        wp = Window.partitionBy(qid_col).orderBy(
+            F.asc("_dist"), F.asc("cluster")
+        )
+        probed = (
+            queries.select(qid_col, qvec_col)
+            .crossJoin(F.broadcast(cents))
+            .select(qid_col, qvec_col, "cluster", dist.alias("_dist"))
+            .withColumn("_rn", F.row_number().over(wp))
+            .filter(F.col("_rn") <= nprobe)
+            .select(qid_col, qvec_col, "cluster")
+        )
+        j = probed.join(self.members, "cluster")
+        v = F.col(self.vec_col)
+        cos = _dot(v, qv) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(qv, qv)))
+        wr = Window.partitionBy(qid_col).orderBy(
+            F.desc("cos"), F.asc(self.id_col)
+        )
+        return (
+            j.select(
+                F.col(qid_col),
+                F.col(self.id_col),
+                F.round(cos, rd).alias("cos"),
+            )
+            .withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k)
+        )
