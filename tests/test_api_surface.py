@@ -92,3 +92,37 @@ def test_wand_leaves_no_persisted_rdds(spark, matcher):
     assert out.count() == 5
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after == before
+
+
+def test_matching_terms(spark, matcher, corpus, oracle):
+    """Enquire::get_matching_terms_begin semantics (api/enquire.cc:344-416):
+    query terms indexing the doc, deduped at their first query position,
+    in ascending query position order."""
+    from xapian_spark.functions.tokenizer import xapian_tokenize
+    from xapian_spark.plans import query as Q
+
+    row = corpus.filter("doc_id = 5").first()
+    doc_terms = set(xapian_tokenize(row["content"]))
+    present = sorted(doc_terms)[:2]
+    absent = "zzzqqqnotaterm"
+    assert len(present) == 2
+
+    # order = query position, not term order; duplicate keeps first pos
+    q = Q.Or(
+        [
+            Q.Term(present[1]),
+            Q.Term(absent),
+            Q.Term(present[0]),
+            Q.Term(present[1]),
+        ]
+    )
+    got = matcher.matching_terms(q, 5)
+    assert got == [present[1], present[0]]
+
+    # no query terms in the doc → empty; empty-ish queries → empty
+    assert matcher.matching_terms(Q.Term(absent), 5) == []
+    assert matcher.matching_terms(Q.MatchAll(), 5) == []
+
+    # nested trees walk pre-order like Query::get_terms_begin
+    q2 = Q.AndMaybe(Q.Term(present[0]), Q.Or([Q.Term(absent), Q.Term(present[1])]))
+    assert matcher.matching_terms(q2, 5) == [present[0], present[1]]

@@ -661,6 +661,48 @@ class Matcher:
             return 0
         return self._tombfilter(self._eval_bool(q)).count()
 
+    def matching_terms(self, q: Q.Query, doc_id: int) -> list[str]:
+        """Enquire::get_matching_terms_begin (api/enquire.cc:344-416):
+        the query's terms that index ``doc_id``, deduplicated (the first
+        occurrence keeps its query position), returned in ascending query
+        position — here pre-order tree position, matching
+        Query::get_terms_begin's iteration order.
+
+        Expansion leaves (wildcard / edit-distance) contribute no terms,
+        like the reference's term iterator over an unexpanded query tree.
+
+        Spark shape: one metadata-pruned membership probe — the postings
+        scan keeps only the query terms' blocks whose [first_docid,
+        last_docid] span covers the doc (both parquet pushdowns), decodes
+        only those blocks, no shuffle; result bounded by the query's term
+        count."""
+        qt: list[str] = []
+        seen: set[str] = set()
+        for t in Q.normalize(q).terms():
+            if t not in seen:
+                seen.add(t)
+                qt.append(t)
+        if not qt:
+            return []
+        did = int(doc_id)
+        tomb = self.index.tombstones
+        if tomb is not None and tomb.filter(F.col("doc_id") == did).count():
+            return []  # deleted doc — reference raises DocNotFoundError
+        blocks = self.index.postings.filter(
+            F.col("term").isin(qt)
+            & (F.col("first_docid") <= did)
+            & (F.col("last_docid") >= did)
+        )
+        rows = (
+            decode_blocks(blocks)
+            .filter(F.col("doc_id") == did)
+            .select("term")
+            .distinct()
+            .collect()
+        )
+        present = {r["term"] for r in rows}
+        return [t for t in qt if t in present]
+
     # ---------------- helpers ----------------
 
     def _term_stats(self, terms: list[str]) -> dict[str, tuple[int, int, int]]:
