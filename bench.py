@@ -627,6 +627,26 @@ def _scaling(scale_docs: int) -> dict:
         # per-actually-busy-core throughput ratio: the resource-normalized
         # efficiency (local[N] bounds task slots, not JVM/daemon threads)
         scaling["efficiency_per_busy_core"] = round(a8 / a2, 3)
+    # Engine-over-host scaling: the chip itself runs 2 busy cores faster
+    # than 8 (turbo/frequency + shared memory bus — the fixed-work pure-
+    # Python probe measures exactly this, ~0.89-0.91 on this box, and it
+    # is STRONGEST on a quiet box, so raw wall-clock efficiency
+    # anticorrelates with box quietness).  Executors on separate cluster
+    # nodes don't share a package: dividing the wall-clock ratio by the
+    # bracketing probes' host ratio isolates the engine's own N→4N
+    # scaling, the quantity that predicts cluster behavior.
+    host_r = min(
+        1.0,
+        (
+            med["probe_before"]["host_per_core_ratio"]
+            + med["probe_after"]["host_per_core_ratio"]
+        )
+        / 2.0,
+    )
+    scaling["host_ratio_median_attempt"] = round(host_r, 3)
+    scaling["efficiency_host_normalized"] = round(
+        min(primary / host_r, 1.0), 3
+    )
     return scaling
 
 
@@ -740,6 +760,7 @@ def main():
         compact["scaling"] = {
             "efficiency_wallclock_2_to_8": sc.get("efficiency_wallclock_2_to_8"),
             "efficiency_per_busy_core": sc.get("efficiency_per_busy_core"),
+            "efficiency_host_normalized": sc.get("efficiency_host_normalized"),
             "host_probe_ratio": sc.get("host_probe", {}).get(
                 "host_per_core_ratio"
             ),
