@@ -179,3 +179,32 @@ def test_cli_delve_allterms(spark, corpus, tmp_path, capsys):
     assert lines and all(ln.split("\t")[0].startswith("ret") for ln in lines)
     terms = [ln.split("\t")[0] for ln in lines]
     assert terms == sorted(terms) and "return" in terms
+
+
+def test_cli_delve_termlist(spark, corpus, tmp_path, capsys):
+    """delve --termlist DOCID: the termlist_begin(did) analog
+    (include/xapian/database.h:211-223) — the doc's terms with wdf in
+    term order."""
+    from xapian_spark.cli import main
+    from xapian_spark.functions.tokenizer import xapian_tokenize
+
+    corpus_path = str(tmp_path / "corpus4.parquet")
+    corpus.write.mode("overwrite").parquet(corpus_path)
+    ix_dir = str(tmp_path / "ix4")
+    assert main(["index", corpus_path, ix_dir]) == 0
+    capsys.readouterr()
+
+    row = corpus.filter("doc_id = 3").first()
+    expect = {}
+    for t in xapian_tokenize(row["content"]):
+        expect[t] = expect.get(t, 0) + 1
+
+    assert main(["delve", ix_dir, "--termlist", "3", "-k", "100000"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    got = {}
+    for ln in lines:
+        term, wdf = ln.split("\t")
+        got[term] = int(wdf.removeprefix("wdf="))
+    terms = list(got)
+    assert terms == sorted(terms)
+    assert got == expect

@@ -6,6 +6,7 @@ analogs (reference bin/xapian-*.cc), runnable via
           [--mode xapian|simple] [--stem en] [--stopword w]...
   search  <index_dir> "<query>" [-k N] [--percent] [--prune] [--stem en]
   delve   <index_dir> [--term T | --doc D | --stats | --allterms [PREFIX]
+          | --termlist DOCID
           | --reconstruct DOCID [--prefix P] [--length N]
             [--start-pos S] [--end-pos E]]
   compact <segment_root> <out_dir>
@@ -89,6 +90,7 @@ def cmd_delve(args) -> int:
         or args.doc
         or args.allterms is not None
         or args.reconstruct is not None
+        or args.termlist is not None
     ):
         print(json.dumps(ix.stats))
         print(json.dumps({"vocab": ix.dictionary.count(), "blocks": ix.postings.count()}))
@@ -113,6 +115,26 @@ def cmd_delve(args) -> int:
             d = d.filter(F.col("term").startswith(args.allterms))
         for r in d.orderBy("term").limit(args.k).collect():
             print(f"{r['term']}\t{r['termfreq']}\t{r['collfreq']}")
+    if args.termlist is not None:
+        # termlist_begin(did) analog (include/xapian/database.h:211-223,
+        # xapian-delve's -t with a docid): the doc's terms in term order
+        # with wdf — block scan pruned by the docid-span metadata before
+        # any decode, like matching_terms
+        did = args.termlist
+        rows = (
+            decode_blocks(
+                ix.postings.filter(
+                    (F.col("first_docid") <= did)
+                    & (F.col("last_docid") >= did)
+                )
+            )
+            .filter(F.col("doc_id") == did)
+            .orderBy("term")
+            .limit(args.k)
+            .collect()
+        )
+        for r in rows:
+            print(f"{r['term']}\twdf={r['wdf']}")
     if args.reconstruct is not None:
         # Database::reconstruct_text (database.h:918-941) — the 2.0 API a
         # delve user reaches for to see what a docid's indexed text was
@@ -280,6 +302,10 @@ def main(argv=None) -> int:
     p.add_argument("--doc", type=int)
     p.add_argument("--stats", action="store_true")
     p.add_argument("--reconstruct", type=int, metavar="DOCID")
+    p.add_argument(
+        "--termlist", type=int, default=None, metavar="DOCID",
+        help="the doc's terms with wdf, term order (termlist_begin)",
+    )
     p.add_argument("--prefix", default="")
     p.add_argument("--length", type=int, default=0)
     p.add_argument("--start-pos", type=int, default=0)
