@@ -347,11 +347,19 @@ def _q_wand_topk(query: Q.Query, k: int):
         # to ≤ that value).  If rounding collapses the boundary, fall back
         # to the exhaustive rounded ranking — exactness over speed.
         n = 2 * k + 1
-        rows = m.mset_df(query, n, prune=True).collect()
+        # rows_out: the WAND kernel already collected the top-n to the
+        # driver; read them from there instead of a createDataFrame→collect
+        # round trip on the returned local relation (~0.3 s of fixed job
+        # overhead saved per query)
+        raw: list = []
+        df = m.mset_df(query, n, prune=True, rows_out=raw)
+        rows = raw if m.last_prune_decision == "pruned" else [
+            (int(r["doc_id"]), float(r["weight"])) for r in df.collect()
+        ]
         # HALF_UP like F.round / the SQL oracle — builtin round() is
         # half-even and can diverge on an exact-half score (ADVICE r04)
         ranked = sorted(
-            ((float(r["weight"]), int(r["doc_id"])) for r in rows),
+            ((float(w), int(d)) for d, w in rows),
             key=lambda x: (-_round_half_up(x[0]), x[1]),
         )
         if len(rows) >= n and k >= 1:

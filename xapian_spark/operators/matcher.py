@@ -553,7 +553,11 @@ class Matcher:
     WAND_AUTO_MIN_POSTINGS = 100_000_000
 
     def mset_df(
-        self, q: Q.Query, k: int, prune: bool | str = False
+        self,
+        q: Q.Query,
+        k: int,
+        prune: bool | str = False,
+        rows_out: list | None = None,
     ) -> DataFrame:
         """Top-k as a pure DataFrame (TakeOrderedAndProject, no collect) —
         the path bench + the driver contract use.
@@ -596,7 +600,7 @@ class Matcher:
                             leaf_terms = None
                     if leaf_terms is not None:
                         self.last_prune_decision = "pruned"
-                        return self._wand(leaf_terms, k)
+                        return self._wand(leaf_terms, k, rows_out=rows_out)
         self._leaf_counter = 0
         matched = self._tombfilter(self._eval(q, factor=1.0))
         matched = self._apply_sumextra(matched, q)
@@ -624,6 +628,7 @@ class Matcher:
         leaf_terms: list[tuple[str, int]],
         k: int,
         stats_out: dict | None = None,
+        rows_out: list | None = None,
     ) -> DataFrame:
         from .wand import wand_topk
 
@@ -644,6 +649,7 @@ class Matcher:
             k,
             self.scheme.params,
             stats_out=stats_out,
+            rows_out=rows_out,
         )
 
     def matches(self, q: Q.Query) -> DataFrame:

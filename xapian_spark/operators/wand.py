@@ -75,6 +75,7 @@ def wand_topk(
     params: BM25Params,
     probe_blocks_per_term: int = 4,
     stats_out: dict | None = None,
+    rows_out: list | None = None,
 ) -> DataFrame:
     """Exact top-k (doc_id, weight) for OR over ``term_weights`` keys.
 
@@ -84,6 +85,12 @@ def wand_topk(
     (blocks_total / blocks_pruned / candidates) — the scale evidence is the
     pruned fraction, since at 10^12-doc block counts skipped blocks are
     skipped parquet IO.
+
+    ``rows_out``: pass a list to ALSO receive the exact top-k as
+    (doc_id, weight) tuples — they are already on the driver (the kernel
+    collects them to release its caches), so a caller that wants rows can
+    skip the createDataFrame→collect round trip on the returned local
+    relation (~0.3 s of fixed job overhead per query on this box).
     """
     terms = sorted(term_weights)
     if not terms:
@@ -274,14 +281,24 @@ def wand_topk(
     else:
         surv_blocks = base_post
         pruned_all = None
-    partials = (
-        _score_decoded(surv_blocks, with_consts, params)
-        .groupBy("doc_id")
-        .agg(
-            F.sum("s").alias("partial"),
-            F.sum("gmax").alias("seen_gmax"),
+    single_term = len(terms) == 1
+    if single_term:
+        # one term → every doc lives in exactly one (term, span) block, so
+        # per-posting scores ARE per-doc totals: skip the groupBy shuffle
+        # (and the persist — phase 3 never re-reads single-term partials),
+        # making the scoring phase decode → TakeOrderedAndProject only
+        partials = _score_decoded(surv_blocks, with_consts, params).select(
+            "doc_id", F.col("s").alias("partial")
         )
-    ).persist()
+    else:
+        partials = (
+            _score_decoded(surv_blocks, with_consts, params)
+            .groupBy("doc_id")
+            .agg(
+                F.sum("s").alias("partial"),
+                F.sum("gmax").alias("seen_gmax"),
+            )
+        ).persist()
 
     # ---- Phase 3: exact rescore of candidates against PRUNED blocks whose
     # docid range covers them.  The candidate set stays a DataFrame end to
@@ -361,13 +378,14 @@ def wand_topk(
         exact.orderBy(F.desc("weight"), F.asc("doc_id")).limit(k).collect()
     )
     meta.unpersist()
-    partials.unpersist()
+    if not single_term:
+        partials.unpersist()
     if cand is not None:
         cand.unpersist()
-    return spark.createDataFrame(
-        [(r["doc_id"], float(r["weight"])) for r in rows],
-        "doc_id long, weight double",
-    )
+    out = [(r["doc_id"], float(r["weight"])) for r in rows]
+    if rows_out is not None:
+        rows_out.extend(out)
+    return spark.createDataFrame(out, "doc_id long, weight double")
 
 
 def _tier_cutoffs(
