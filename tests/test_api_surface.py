@@ -126,3 +126,15 @@ def test_matching_terms(spark, matcher, corpus, oracle):
     # nested trees walk pre-order like Query::get_terms_begin
     q2 = Q.AndMaybe(Q.Term(present[0]), Q.Or([Q.Term(absent), Q.Term(present[1])]))
     assert matcher.matching_terms(q2, 5) == [present[0], present[1]]
+
+
+def test_matching_terms_batch(spark, matcher, corpus):
+    """Batch variant ≡ per-doc matching_terms, one job for the whole page."""
+    from xapian_spark.plans import query as Q
+
+    docs = [r["doc_id"] for r in corpus.limit(6).collect()]
+    q = Q.Or([Q.Term("return"), Q.Term("for"), Q.Term("zzzqqqnotaterm")])
+    batch = matcher.matching_terms_batch(q, docs)
+    assert set(batch) == set(docs)
+    for d in docs:
+        assert batch[d] == matcher.matching_terms(q, d), f"doc {d}"

@@ -709,6 +709,56 @@ class Matcher:
         present = {r["term"] for r in rows}
         return [t for t in qt if t in present]
 
+    def matching_terms_batch(
+        self, q: Q.Query, doc_ids: list[int]
+    ) -> dict[int, list[str]]:
+        """matching_terms for many docs in ONE job — the Spark-appropriate
+        shape for highlighting a whole MSet page (the reference iterates
+        get_matching_terms_begin per MSetIterator; one driver round trip
+        per result would defeat the batch engine).
+
+        Same per-doc semantics as matching_terms; docs matching no query
+        term (or deleted) map to [].  The probe scans only the query
+        terms' blocks whose docid span intersects [min(ids), max(ids)] and
+        decodes just those."""
+        qt: list[str] = []
+        seen: set[str] = set()
+        for t in Q.normalize(q).terms():
+            if t not in seen:
+                seen.add(t)
+                qt.append(t)
+        ids = sorted({int(d) for d in doc_ids})
+        if not qt or not ids:
+            return {int(d): [] for d in doc_ids}
+        tomb = self.index.tombstones
+        dead: set[int] = set()
+        if tomb is not None:
+            dead = {
+                r["doc_id"]
+                for r in tomb.filter(F.col("doc_id").isin(ids)).collect()
+            }
+            ids = [d for d in ids if d not in dead]
+        out: dict[int, list[str]] = {int(d): [] for d in doc_ids}
+        if ids:
+            blocks = self.index.postings.filter(
+                F.col("term").isin(qt)
+                & (F.col("first_docid") <= ids[-1])
+                & (F.col("last_docid") >= ids[0])
+            )
+            rows = (
+                decode_blocks(blocks)
+                .filter(F.col("doc_id").isin(ids))
+                .select("doc_id", "term")
+                .distinct()
+                .collect()
+            )
+            by_doc: dict[int, set] = {}
+            for r in rows:
+                by_doc.setdefault(int(r["doc_id"]), set()).add(r["term"])
+            for d, pres in by_doc.items():
+                out[d] = [t for t in qt if t in pres]
+        return out
+
     # ---------------- helpers ----------------
 
     def _term_stats(self, terms: list[str]) -> dict[str, tuple[int, int, int]]:
