@@ -1103,7 +1103,7 @@ ORDER BY cos DESC, a ASC, b ASC LIMIT 15"""
 )
 
 
-_ANN_CACHE: dict[str, object] = {}
+_ANN_CACHE: dict[object, object] = {}  # sf_dir → LSH ix; ("ivf", sf_dir) → IVF ix
 
 
 def _ann_index(spark: SparkSession, sf_dir: str):
