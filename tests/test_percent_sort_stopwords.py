@@ -181,3 +181,37 @@ def test_collapse_key_in_mset(spark, matcher, index, oracle):
     # ranking within the result keeps the global comparator
     ws = [r["weight"] for r in res2.df.collect()]
     assert ws == sorted(ws, reverse=True)
+
+
+def test_docid_order(matcher):
+    """Enquire::set_docid_order (enquire.h:126-163): the docid tie-break
+    flips under 'desc'; non-tied ranks are unaffected; DONT_CARE is
+    deterministic (ascending here)."""
+    import pytest
+
+    from xapian_spark.plans import query as Q
+
+    q = Q.Term("return")
+    asc = [(r["doc_id"], r["weight"]) for r in matcher.mset(q, maxitems=50).df.collect()]
+    desc = [
+        (r["doc_id"], r["weight"])
+        for r in matcher.mset(q, maxitems=50, docid_order="desc").df.collect()
+    ]
+    dc = [
+        (r["doc_id"], r["weight"])
+        for r in matcher.mset(q, maxitems=50, docid_order="dont_care").df.collect()
+    ]
+    assert dc == asc
+    # same weight multiset either way
+    assert sorted(w for _, w in asc) == sorted(w for _, w in desc)
+    # within every weight-tie group the docids reverse
+    from itertools import groupby
+
+    ga = {w: [d for d, _ in g] for w, g in groupby(asc, key=lambda x: x[1])}
+    gd = {w: [d for d, _ in g] for w, g in groupby(desc, key=lambda x: x[1])}
+    tied = [w for w, ds in ga.items() if len(ds) > 1 and w in gd and len(gd[w]) == len(ga[w])]
+    assert tied, "fixture needs at least one full weight tie in the page"
+    for w in tied:
+        assert gd[w] == list(reversed(ga[w]))
+    with pytest.raises(ValueError):
+        matcher.mset(q, maxitems=5, docid_order="sideways")

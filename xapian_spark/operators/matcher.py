@@ -311,6 +311,7 @@ class Matcher:
         rank_round: int | None = None,
         percent_cutoff: int = 0,
         weight_cutoff: float = 0.0,
+        docid_order: str = "asc",
     ) -> MSetResult:
         """≈ Enquire::get_mset (api/enquire.cc:257-340).
 
@@ -343,6 +344,13 @@ class Matcher:
         math, exact) is below percent_cutoff, or whose weight is below
         weight_cutoff.
 
+        ``docid_order``: Enquire::set_docid_order (enquire.h:126-163) —
+        the docid tie-break direction for otherwise-equal ranks: 'asc'
+        (ASCENDING, default), 'desc' (DESCENDING — with BoolWeight and
+        date-ordered ids, "newest first"), or 'dont_care' (backend's
+        choice; here deterministically ascending — a Spark sort needs a
+        total order and ascending is the cheapest stable one).
+
         ``check_at_least``: the third get_mset argument (enquire.h:383-404)
         — "check at least this many documents so the match-count bounds are
         accurate to it".  Our counts are exact, so any check_at_least > 0
@@ -350,6 +358,9 @@ class Matcher:
         reference's lower/upper bounds); the parameter exists for API
         parity and, like the reference, costs nothing when 0.
         """
+        if docid_order not in ("asc", "desc", "dont_care"):
+            raise ValueError("docid_order must be 'asc', 'desc' or 'dont_care'")
+        _did = F.desc("doc_id") if docid_order == "desc" else F.asc("doc_id")
         q = Q.normalize(q)
         if isinstance(q, Q.MatchNothing):
             empty = self.spark.createDataFrame(
@@ -414,11 +425,11 @@ class Matcher:
                 F.desc(sort_by_value) if sort_value_reverse else F.asc(sort_by_value)
             )
             if sort_mode == "value_then_relevance":
-                order = [vcol, F.desc("weight"), F.asc("doc_id")]
+                order = [vcol, F.desc("weight"), _did]
             elif sort_mode == "relevance_then_value":
-                order = [F.desc("weight"), vcol, F.asc("doc_id")]
+                order = [F.desc("weight"), vcol, _did]
             elif sort_mode == "value":
-                order = [vcol, F.asc("doc_id")]
+                order = [vcol, _did]
             else:
                 raise ValueError(
                     "sort_mode must be 'value', 'value_then_relevance' or "
@@ -430,11 +441,11 @@ class Matcher:
             matched = matched.join(key, "doc_id", "left")
             order = [
                 F.desc(c) if reverse else F.asc(c) for c, reverse in sort_by_keys
-            ] + [F.asc("doc_id")]
+            ] + [_did]
         elif rank_round is not None:
-            order = [F.desc(F.round(F.col("weight"), rank_round)), F.asc("doc_id")]
+            order = [F.desc(F.round(F.col("weight"), rank_round)), _did]
         else:
-            order = [F.desc("weight"), F.asc("doc_id")]
+            order = [F.desc("weight"), _did]
         if collapse_key is not None:
             if collapse_key not in matched.columns:  # may be a sort column
                 ckey = self.index.docs.select("doc_id", collapse_key)
