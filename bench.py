@@ -197,6 +197,7 @@ HEADLINE = [
     "facet_lang",
     "dedup_minhash_lsh",
     "dedup_shingle_jaccard",
+    "dedup_repeated_spans",
     "simhash_fingerprint",
     "fingerprint_winnow",
     "text_quality",

@@ -160,3 +160,31 @@ def test_jaccard_hash_join_matches_strings(spark):
     }
     sh.unpersist()
     assert a == b and (1, 2) in a
+
+
+def test_repeated_spans(spark):
+    """repeated_spans: substring-level dedup — every w-token window with
+    ALL occurrences, cross-doc spans ranked by (n_docs, n_occ)."""
+    from xapian_spark.operators.dedup import repeated_spans
+
+    boiler = "all rights reserved by the author"  # 6 tokens → two 5-spans
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {boiler} gamma"),
+            (2, f"{boiler} delta {boiler}"),     # boiler twice in one doc
+            (3, "unrelated text with no duplicate content here at all"),
+            (4, f"epsilon {boiler}"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = repeated_spans(docs, w=5, min_docs=2, top_n=10).collect()
+    by_span = {r["span"]: (r["n_docs"], r["n_occ"]) for r in rows}
+    assert by_span["all rights reserved by the"] == (3, 4)
+    assert by_span["rights reserved by the author"] == (3, 4)
+    # nothing from the unique doc leaks in
+    assert all("unrelated" not in s for s in by_span)
+    # a window below min_docs is excluded
+    assert "alpha beta all rights reserved" not in by_span
+    # ranking: (n_docs DESC, n_occ DESC, span ASC)
+    keys = [(-r["n_docs"], -r["n_occ"], r["span"]) for r in rows]
+    assert keys == sorted(keys)

@@ -884,6 +884,43 @@ WHERE round(i::DOUBLE / (s1.n + s2.n - i)::DOUBLE, {ROUND}) >= 0.8""",
 )
 
 
+_SPAN_W, _SPAN_TOP = 5, 20
+
+
+def _q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-span mining (operators/dedup.repeated_spans): the
+    substring-level dedup primitive — all 5-token windows, corpus-wide
+    occurrence aggregation, cross-doc duplicates ranked."""
+    from .operators.dedup import repeated_spans
+
+    return repeated_spans(
+        _documents(spark, sf_dir), w=_SPAN_W, top_n=_SPAN_TOP
+    )
+
+
+_register(
+    "dedup_repeated_spans",
+    _q_repeated_spans,
+    _PRELUDE
+    + f"""
+, tokp AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p FROM arr
+), spp AS (
+  SELECT a.doc_id,
+         a.term || ' ' || b.term || ' ' || c.term || ' ' || d.term || ' ' || e.term AS span
+  FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+              JOIN tokp c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+              JOIN tokp d ON a.doc_id = d.doc_id AND d.p = a.p + 3
+              JOIN tokp e ON a.doc_id = e.doc_id AND e.p = a.p + 4
+), per AS (
+  SELECT doc_id, span, count(*)::BIGINT AS occ FROM spp GROUP BY 1, 2
+)
+SELECT span, count(*)::BIGINT AS n_docs, sum(occ)::BIGINT AS n_occ
+FROM per GROUP BY span HAVING count(*) >= 2
+ORDER BY n_docs DESC, n_occ DESC, span ASC LIMIT {_SPAN_TOP}""",
+)
+
+
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import minhash_candidate_pairs, minhash_signatures
 

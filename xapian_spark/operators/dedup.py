@@ -356,3 +356,73 @@ def simhash16(sh: DataFrame) -> DataFrame:
         bit = F.when(F.col(f"s{i}") > 0, F.lit(1 << (i - 1))).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return g.select("doc_id", fp.cast("long").alias("fp"))
+
+
+def repeated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 5,
+    min_docs: int = 2,
+    top_n: int = 20,
+) -> DataFrame:
+    """Exact repeated w-token span mining — the substring-level dedup
+    primitive ("Deduplicating Training Data Makes Language Models
+    Better", Lee et al., ACL 2022) at fixed window granularity: every
+    w-token window of every doc (ALL occurrences — unlike ``shingles``'
+    per-doc distinct sets), aggregated corpus-wide; a span appearing in
+    ≥ ``min_docs`` distinct docs is duplicated training text.
+
+    Output: (span, n_docs, n_occ) — the ``top_n`` most-duplicated spans
+    by (n_docs DESC, n_occ DESC, span ASC).
+
+    Scale shape: one Arrow ``mapInPandas`` pass (same kernel family as
+    ``shingles``/``winnow``) that pre-aggregates per-doc occurrence
+    counts map-side, then ONE groupBy(span) with map-side partial aggs
+    and a bounded TakeOrdered.  At 100 TB granularity the span strings
+    themselves dominate the shuffle: group on ``xxhash64(span)`` and
+    re-attach one exemplar per hash (min(span)) — same trade as the
+    jaccard hash-join variant; the string path here keeps the DuckDB
+    oracle byte-comparable.
+    """
+    import re
+
+    import pandas as pd
+
+    split_re = re.compile(r"\s+", re.ASCII)
+
+    def kernel(batches):
+        for pdf in batches:
+            out_ids, out_sp, out_oc = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in split_re.split((text or "").lower()) if t]
+                if len(toks) < w:
+                    continue
+                per: dict[str, int] = {}
+                for i in range(len(toks) - w + 1):
+                    s = " ".join(toks[i : i + w])
+                    per[s] = per.get(s, 0) + 1
+                out_ids.extend([did] * len(per))
+                out_sp.extend(per.keys())
+                out_oc.extend(per.values())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype="int64"),
+                    "span": pd.Series(out_sp, dtype=object),
+                    "occ": pd.Series(out_oc, dtype="int64"),
+                }
+            )
+
+    per_doc = docs.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(kernel, "doc_id long, span string, occ long")
+    return (
+        per_doc.groupBy("span")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("occ").cast("long").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("span"))
+        .limit(top_n)
+    )
