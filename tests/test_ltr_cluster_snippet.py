@@ -464,3 +464,115 @@ def test_snippet_phrase_ring_token_accurate():
         phrases=[["alpha", "beta", "gamma"]],
     )
     assert "<b>alpha-beta gamma</b>" in s4
+
+
+def test_ndcg_err_scalar_pinned():
+    """NDCG/ERR scorers pinned to hand-computed values on a small ranking
+    (xapian-letor/scorer/{ndcg,err}_score.cc parity)."""
+    import math
+
+    from xapian_spark.operators.ltr import err_score, ndcg_score
+
+    # ranking labels in model order: [3, 2, 3, 0, 1, 2]  (classic example)
+    labels = [3.0, 2.0, 3.0, 0.0, 1.0, 2.0]
+    dcg = sum((2**v - 1) / math.log2(i + 2) for i, v in enumerate(labels))
+    ideal = sorted(labels, reverse=True)
+    idcg = sum((2**v - 1) / math.log2(i + 2) for i, v in enumerate(ideal))
+    assert abs(ndcg_score(labels) - dcg / idcg) < 1e-12
+    assert ndcg_score([0.0, 0.0]) == 0.0  # dcg==0 guard (no divide)
+    assert ndcg_score(ideal) == 1.0
+
+    # ERR by direct sequential computation (Chapelle alg. 2, 2^max norm)
+    mx = 2.0**3
+    p, want = 1.0, 0.0
+    for rank, v in enumerate(labels, 1):
+        r = (2.0**v - 1) / mx
+        want += p * r / rank
+        p *= 1 - r
+    assert abs(err_score(labels) - want) < 1e-12
+    assert err_score([]) == 0.0
+
+
+def test_ndcg_err_df_match_scalar(spark):
+    """Distributed per-query scorers == scalar loop per query, including a
+    query containing a maximally-relevant doc (rel_p == 1 saturation)."""
+    from xapian_spark.operators.ltr import err_df, err_score, ndcg_df, ndcg_score
+
+    rows = []
+    per_query = {
+        0: [(3.0, 9.0), (1.0, 7.0), (2.0, 5.0), (0.0, 1.0)],
+        1: [(2.0, 8.0), (2.0, 6.0), (1.0, 4.0)],
+        2: [(0.0, 3.0), (0.0, 2.0)],  # all-zero labels → ndcg 0
+    }
+    for qid, lvs in per_query.items():
+        rows += [(qid, l, s) for l, s in lvs]
+    df = spark.createDataFrame(rows, "query_id long, label double, score double")
+    got_n = {r["query_id"]: r["ndcg"] for r in ndcg_df(df).collect()}
+    got_e = {r["query_id"]: r["err"] for r in err_df(df).collect()}
+    for qid, lvs in per_query.items():
+        ordered = [l for l, _ in sorted(lvs, key=lambda x: (-x[1], x[0]))]
+        assert abs(got_n[qid] - ndcg_score(ordered)) < 1e-9, qid
+        assert abs(got_e[qid] - err_score(ordered)) < 1e-9, qid
+
+
+def test_value_posting_sources(spark, index, matcher):
+    """The four named value-slot PostingSources
+    (include/xapian/postingsource.h:428-709) vs pointwise python."""
+    from xapian_spark.operators.postingsource import (
+        decreasing_value_weight_source,
+        fixed_weight_source,
+        value_map_source,
+        value_weight_source,
+    )
+    from xapian_spark.plans import query as Q
+
+    docs = index.docs  # value slot here: the doc_len column
+    want = {r["doc_id"]: float(r["doc_len"]) for r in docs.collect()}
+
+    got = {r["doc_id"]: r["weight"] for r in value_weight_source(docs, "doc_len").collect()}
+    assert got == want
+
+    got = {
+        r["doc_id"]: r["weight"]
+        for r in decreasing_value_weight_source(
+            docs, "doc_len", range_start=10, range_end=50
+        ).collect()
+    }
+    assert got == {d: v for d, v in want.items() if 10 <= d <= 50}
+
+    langs = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    some_lang = sorted(set(langs.values()))[0]
+    mapping = {some_lang: 2.0}
+    got = {
+        r["doc_id"]: r["weight"]
+        for r in value_map_source(docs, "lang", mapping, default_weight=0.25).collect()
+    }
+    assert got == {d: mapping.get(v, 0.25) for d, v in langs.items()}
+
+    got = {r["doc_id"]: r["weight"] for r in fixed_weight_source(docs, 1.5).collect()}
+    assert set(got.values()) == {1.5} and set(got) == set(want)
+
+    # plugs into the matcher: AND_MAYBE boost changes ranking determinately
+    src = value_weight_source(docs, "doc_len")
+    q = Q.AndMaybe(Q.Term("return"), Q.ScaleWeight(Q.PostingSource(src), 0.001))
+    rows = matcher.mset_df(q, 5).collect()
+    base = {r["doc_id"]: r["weight"] for r in matcher.mset_df(Q.Term("return"), 10000).collect()}
+    assert rows
+    for r in rows:
+        assert abs(r["weight"] - (base[r["doc_id"]] + want[r["doc_id"]] * 0.001)) < 1e-9
+
+
+def test_value_weight_source_binary_slot(spark):
+    """BINARY slots holding sortable_serialise bytes are unserialised
+    (postingsource.cc ValueWeightPostingSource::get_weight parity)."""
+    from xapian_spark.functions.sortable import sortable_serialise
+    from xapian_spark.operators.postingsource import value_weight_source
+
+    vals = [0.0, 1.5, 42.25, 1e9]
+    df = spark.createDataFrame(
+        [(i, bytearray(sortable_serialise(v))) for i, v in enumerate(vals)]
+        + [(99, None)],
+        "doc_id long, slot binary",
+    )
+    got = {r["doc_id"]: r["weight"] for r in value_weight_source(df, "slot").collect()}
+    assert got == {i: v for i, v in enumerate(vals)}  # null slot skipped

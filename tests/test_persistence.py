@@ -42,3 +42,24 @@ def test_postings_pruned_scan(spark, index, tmp_path):
     loaded = load_index(spark, path)
     plan = loaded.postings.filter(F.col("term") == "binary_search")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(term), EqualTo(term,binary_search)]" in plan
+
+
+def test_pipelined_write_path_equals_save_index(spark, corpus, tmp_path):
+    """build_index(write_path=…) — the overlapped persist used by bench —
+    commits byte-for-byte the same tables+manifest semantics as the
+    sequential build→save_index."""
+    from xapian_spark.operators.indexer import LAST_BUILD_TIMINGS, build_index
+    from xapian_spark.sources.catalog import load_index, save_index
+
+    p_seq = str(tmp_path / "seq")
+    p_pipe = str(tmp_path / "pipe")
+    save_index(build_index(spark, corpus, meta_cols=["lang"]), p_seq)
+    build_index(spark, corpus, meta_cols=["lang"], write_path=p_pipe)
+    assert LAST_BUILD_TIMINGS["stats_ready_sec"] >= 0
+
+    a = load_index(spark, p_seq)
+    b = load_index(spark, p_pipe)
+    assert a.stats == b.stats and a.config == b.config
+    for t in ("docs", "dictionary", "postings"):
+        da, db = getattr(a, t), getattr(b, t)
+        assert sorted(map(tuple, da.collect())) == sorted(map(tuple, db.collect())), t

@@ -116,9 +116,95 @@ def test_multimodal_pipeline(spark):
     assert read_schema and all("payload" not in l for l in read_schema)
     n_video = media_pq.filter("kind = 'video'").count()
     assert plan.select("media_id").distinct().count() == n_video
-    # the real decoder is a clearly-marked stub
-    with pytest.raises(NotImplementedError):
+    # the real decoder rejects unrecognized containers loudly
+    with pytest.raises(ValueError):
         real_decoder(b"x", "image", "image/png")
+
+
+def _png_bytes(w, h, bit_depth=8, color_type=6):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+
+
+def _jpeg_bytes(w, h, channels=3):
+    import struct
+
+    # SOI + APP0 (JFIF) + SOF0; enough for any header parser
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof = struct.pack(">BHHB", 8, h, w, channels) + b"\x01\x11\x00" * channels
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    )
+
+
+def _gif_bytes(w, h):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x91, 0, 0])
+
+
+def _wav_bytes(channels=2, rate=44100, bits=16):
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+                      channels * bits // 8, bits)
+    return (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+
+
+def test_multimodal_real_decoder(spark):
+    """real_decoder parses actual PNG/JPEG/GIF/WAV byte layouts (stdlib
+    header decode) — dimensions/params recovered exactly, end-to-end
+    through the Arrow extract_features kernel."""
+    from xapian_spark.operators.multimodal import (
+        extract_features,
+        media_header,
+        real_decoder,
+    )
+
+    assert media_header(_png_bytes(640, 480)) == {
+        "format": "png", "width": 640, "height": 480, "depth": 8, "channels": 4,
+    }
+    assert media_header(_jpeg_bytes(1024, 768)) == {
+        "format": "jpeg", "width": 1024, "height": 768, "depth": 8, "channels": 3,
+    }
+    g = media_header(_gif_bytes(33, 44))
+    assert (g["format"], g["width"], g["height"]) == ("gif", 33, 44)
+    assert media_header(_wav_bytes()) == {
+        "format": "wav", "channels": 2, "sample_rate": 44100, "bits": 16,
+    }
+    # end-to-end through the Spark kernel with the REAL decoder
+    rows = [
+        (1, "image", "image/png", _png_bytes(640, 480)),
+        (2, "image", "image/jpeg", _jpeg_bytes(1024, 768)),
+        (3, "image", "image/gif", _gif_bytes(33, 44)),
+        (4, "audio", "audio/wav", _wav_bytes()),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, mime string, payload binary"
+    )
+    feats = {
+        r["media_id"]: r["feature"]
+        for r in extract_features(media, decoder=real_decoder).collect()
+    }
+    assert feats[1][1:3] == [640.0, 480.0]
+    assert feats[2][1:3] == [1024.0, 768.0]
+    assert feats[3][1:3] == [33.0, 44.0]
+    assert feats[4][5] == 44100.0
 
 
 def test_streaming_stateful_first_seen(spark, tmp_path):

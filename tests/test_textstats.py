@@ -188,3 +188,29 @@ def test_repeated_spans(spark):
     # ranking: (n_docs DESC, n_occ DESC, span ASC)
     keys = [(-r["n_docs"], -r["n_occ"], r["span"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_repeated_spans_hash_keyed_equivalence(spark):
+    """join_on_hash=True (the 100 TB form: 8-byte xxhash64 shuffle key +
+    min(span) exemplar) returns exactly the string-keyed rows."""
+    from xapian_spark.operators.dedup import repeated_spans
+
+    boiler = "all rights reserved by the author"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {boiler} gamma"),
+            (2, f"{boiler} delta {boiler}"),
+            (3, "unrelated text with no duplicate content here at all"),
+            (4, f"epsilon {boiler}"),
+            (5, f"zeta {boiler} eta {boiler}"),
+        ],
+        "doc_id long, text string",
+    )
+    a = [tuple(r) for r in repeated_spans(docs, w=5, min_docs=2, top_n=10).collect()]
+    b = [
+        tuple(r)
+        for r in repeated_spans(
+            docs, w=5, min_docs=2, top_n=10, join_on_hash=True
+        ).collect()
+    ]
+    assert a == b and len(a) > 0

@@ -94,13 +94,16 @@ def cmd_delve(args) -> int:
     ):
         print(json.dumps(ix.stats))
         print(json.dumps({"vocab": ix.dictionary.count(), "blocks": ix.postings.count()}))
+    # --term/--allterms keep the old default of 10; --termlist prints the
+    # complete list when -k is absent (xapian-delve parity, ADVICE r05)
+    k_scan = args.k if args.k is not None else 10
     if args.term:
         d = ix.dictionary.filter(F.col("term") == args.term).collect()
         print(json.dumps([r.asDict() for r in d]))
         for r in (
             decode_blocks(ix.postings.filter(F.col("term") == args.term))
             .orderBy("doc_id")
-            .limit(args.k)
+            .limit(k_scan)
             .collect()
         ):
             print(f"{r['doc_id']}\twdf={r['wdf']}\tdoclen={r['doc_len']}")
@@ -113,7 +116,7 @@ def cmd_delve(args) -> int:
         d = ix.dictionary
         if args.allterms:
             d = d.filter(F.col("term").startswith(args.allterms))
-        for r in d.orderBy("term").limit(args.k).collect():
+        for r in d.orderBy("term").limit(k_scan).collect():
             print(f"{r['term']}\t{r['termfreq']}\t{r['collfreq']}")
     if args.termlist is not None:
         # termlist_begin(did) analog (include/xapian/database.h:211-223,
@@ -121,7 +124,10 @@ def cmd_delve(args) -> int:
         # with wdf — block scan pruned by the docid-span metadata before
         # any decode, like matching_terms
         did = args.termlist
-        rows = (
+        # xapian-delve prints the COMPLETE termlist; -k limits only when
+        # given explicitly (ADVICE r05: a silent default-10 truncation
+        # diverged from the reference CLI), and a truncation is announced.
+        tl = (
             decode_blocks(
                 ix.postings.filter(
                     (F.col("first_docid") <= did)
@@ -130,11 +136,14 @@ def cmd_delve(args) -> int:
             )
             .filter(F.col("doc_id") == did)
             .orderBy("term")
-            .limit(args.k)
-            .collect()
         )
-        for r in rows:
+        k_given = args.k is not None
+        rows = (tl.limit(args.k + 1) if k_given else tl).collect()
+        shown = rows[: args.k] if k_given else rows
+        for r in shown:
             print(f"{r['term']}\twdf={r['wdf']}")
+        if k_given and len(rows) > args.k:
+            print(f"... (truncated at -k {args.k})")
     if args.reconstruct is not None:
         # Database::reconstruct_text (database.h:918-941) — the 2.0 API a
         # delve user reaches for to see what a docid's indexed text was
@@ -314,7 +323,9 @@ def main(argv=None) -> int:
         "--allterms", nargs="?", const="", default=None,
         help="dictionary scan, optionally by prefix (allterms_begin)",
     )
-    p.add_argument("-k", type=int, default=10)
+    # default None: --termlist prints the COMPLETE list unless -k is given
+    # (xapian-delve parity); --term/--allterms fall back to 10
+    p.add_argument("-k", type=int, default=None)
     p.set_defaults(fn=cmd_delve)
 
     p = sub.add_parser("compact")

@@ -394,3 +394,25 @@ def wordbreak_tokenize_mixed(
             out.extend(xapian_tokenize(text[i:j]))
             i = j
     return out
+
+
+#: Demo word-break lexicon for FLAG_WORD_BREAKS (word-breaker.cc ships no
+#: dictionary either — ICU's comes from the OS).  A small set of very
+#: common Chinese/Japanese words so the maximum-matching segmenter is
+#: usable out of the box; production deployments inject their own lexicon
+#: (e.g. a frequency-pruned dictionary table broadcast per executor).
+DEMO_WORD_BREAK_LEXICON: frozenset[str] = frozenset(
+    {
+        # Chinese — common nouns/verbs/function words
+        "中国", "我们", "你们", "他们", "什么", "没有", "可以", "知道",
+        "现在", "时候", "自己", "这个", "那个", "因为", "所以", "但是",
+        "如果", "已经", "还是", "就是", "人民", "工作", "学习", "学生",
+        "老师", "朋友", "今天", "明天", "昨天", "时间", "问题", "世界",
+        "国家", "政府", "公司", "经济", "发展", "技术", "计算机", "电脑",
+        "软件", "程序", "数据", "搜索", "引擎", "索引", "查询", "文档",
+        # Japanese — common words (kana sequences break on script anyway;
+        # these cover kanji compounds)
+        "日本", "東京", "会社", "仕事", "学校", "先生", "電話", "時間",
+        "問題", "世界", "検索", "索引", "文書", "言葉", "漢字",
+    }
+)

@@ -29,6 +29,19 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def _c(v) -> Column:
+    """``lit()`` for floats, pass-through for Columns.
+
+    Every scheme's per-term state is a handful of scalars computed by
+    ``init()`` from (termfreq, collfreq, global stats).  The distributed
+    wildcard/fuzzy path (matcher._eval_term_set_distributed) initializes
+    the SAME TermWeight dataclasses via ``init_col()`` with termfreq /
+    collfreq as Columns — so those fields become Column expressions and the
+    ``sumpart_col`` formulas must lift them with ``_c`` instead of
+    ``F.lit``.  The scalar path is unchanged (lit of a float)."""
+    return v if isinstance(v, Column) else F.lit(v)
+
+
 @dataclass(frozen=True)
 class BM25Params:
     k1: float = 1.0
@@ -76,7 +89,7 @@ class BM25Term:
             F.lit(p.k1) * (normlen * F.lit(p.b) + F.lit(1 - p.b))
             + wdf.cast("double")
         )
-        return F.lit(self.termweight) * (wdf.cast("double") / denom)
+        return _c(self.termweight) * (wdf.cast("double") / denom)
 
 
 def bm25_init(
@@ -167,6 +180,29 @@ class BM25Scheme:
             params=self.params,
         )
 
+    def init_col(self, termfreq, collfreq, stats, wqf=1, factor=1.0, query_length=None):
+        """``init`` with termfreq/collfreq as Columns (same op order as
+        bm25_init) — per-term state for the distributed wildcard path."""
+        p = self.params
+        n = float(stats["doccount"])
+        tf = termfreq.cast("double")
+        tw = (F.lit(n) - tf + F.lit(0.5)) / (tf + F.lit(0.5))
+        tw = F.when(tw < 2, tw * F.lit(0.5) + F.lit(1.0)).otherwise(tw)
+        termweight = F.log(tw) * F.lit(factor)
+        if p.k3 != 0:
+            wqf_double = float(wqf)
+            termweight = termweight * F.lit(
+                (p.k3 + 1) * wqf_double / (p.k3 + wqf_double)
+            )
+        termweight = termweight * F.lit(p.k1 + 1)
+        if p.k2 == 0 and (p.b == 0 or p.k1 == 0):
+            len_factor = 0.0
+        else:
+            len_factor = stats["avg_length"]
+            if len_factor != 0:
+                len_factor = 1 / len_factor
+        return BM25Term(termweight=termweight, len_factor=len_factor, params=p)
+
 
 class TradScheme(BM25Scheme):
     """TradWeight(k) ≡ BM25Weight(k, 0, 0, 1, 0) (weight.h:1292-1309).
@@ -227,7 +263,7 @@ class _TfIdfTerm(TermWeight):
             wdfn = F.when(wdf > 0, F.sqrt(x - F.lit(0.5)) + F.lit(1.0)).otherwise(0.0)
         else:
             raise ValueError(f"unsupported wdf_norm {w}")
-        return wdfn * F.lit(self.idfn) * F.lit(self.wqf_factor)
+        return wdfn * _c(self.idfn) * F.lit(self.wqf_factor)
 
     def maxpart(self, wdf_max: int, doclen_lower_bound: int) -> float:
         return self._wdfn(wdf_max, doclen_lower_bound) * self.idfn * self.wqf_factor
@@ -270,6 +306,34 @@ class TfIdfScheme:
             avg_len=stats["avg_length"],
         )
 
+    def init_col(self, termfreq, collfreq, stats, wqf=1, factor=1.0, query_length=None):
+        n = float(stats["doccount"])
+        tf = termfreq.cast("double")
+        i = self.idf_norm
+        if i == "none":
+            idfn = F.lit(1.0)
+        elif i == "prob":
+            idfn = F.when(tf == F.lit(n), 0.0).otherwise(
+                F.log((F.lit(n) - tf) / tf)
+            )
+        elif i == "freq":
+            idfn = F.lit(1.0) / tf
+        elif i == "square":
+            x = F.log(F.lit(n) / tf)
+            idfn = x * x
+        elif i == "pivoted":
+            idfn = F.log(F.lit(n + 1) / tf)
+        elif i == "tfidf":
+            idfn = F.log(F.lit(n) / tf)
+        else:
+            raise ValueError(f"unsupported idf_norm {i}")
+        return _TfIdfTerm(
+            idfn=idfn,
+            wqf_factor=wqf * factor,
+            wdf_norm=self.wdf_norm,
+            avg_len=stats["avg_length"],
+        )
+
 
 @dataclass
 class _ConstTerm(TermWeight):
@@ -295,6 +359,8 @@ class CoordScheme:
     def init(self, termfreq, collfreq, stats, wqf=1, factor=1.0, query_length=None):
         return _ConstTerm(float(factor))
 
+    init_col = init  # no per-term stats consulted
+
 
 class BoolScheme:
     """BoolWeight: all weights 0 (weight.h:678)."""
@@ -304,6 +370,8 @@ class BoolScheme:
 
     def init(self, termfreq, collfreq, stats, wqf=1, factor=1.0, query_length=None):
         return _ConstTerm(0.0)
+
+    init_col = init  # no per-term stats consulted
 
 
 # ---------------------------------------------------------------------------
@@ -334,7 +402,7 @@ class _BM25PlusTerm(TermWeight):
         )
         x = wdf.cast("double")
         denom = F.lit(self.k1) * (normlen * F.lit(self.b) + F.lit(1 - self.b)) + x
-        return F.lit(self.termweight) * (
+        return _c(self.termweight) * (
             F.lit(self.k1 + 1) * x / denom + F.lit(self.delta)
         )
 
@@ -384,6 +452,31 @@ class BM25PlusScheme:
             delta=self.delta,
         )
 
+    def init_col(self, termfreq, collfreq, stats, wqf=1, factor=1.0, query_length=None):
+        tf = termfreq.cast("double")
+        termweight = F.log(F.lit(float(stats["doccount"] + 1)) / tf)
+        termweight = termweight * F.lit(factor)
+        if self.k3 != 0:
+            wqf_double = float(wqf)
+            termweight = termweight * F.lit(
+                (self.k3 + 1) * wqf_double / (self.k3 + wqf_double)
+            )
+        termweight = F.when(termfreq > 0, termweight).otherwise(0.0)
+        if self.k2 == 0 and (self.b == 0 or self.k1 == 0):
+            len_factor = 0.0
+        else:
+            len_factor = stats["avg_length"]
+            if len_factor != 0:
+                len_factor = 1 / len_factor
+        return _BM25PlusTerm(
+            termweight=termweight,
+            len_factor=len_factor,
+            k1=self.k1,
+            b=self.b,
+            min_normlen=self.min_normlen,
+            delta=self.delta,
+        )
+
 
 # ---------------------------------------------------------------------------
 # DFR family (weight.h:1330-1877): InL2, IfB2, IneB2, BB2, DLH, PL2, PL2+,
@@ -395,7 +488,7 @@ class BM25PlusScheme:
 
 def _wdfn_col(wdf: Column, doc_len: Column, c_product_avlen: float) -> Column:
     return wdf.cast("double") * F.log2(
-        F.lit(1.0) + F.lit(c_product_avlen) / doc_len.cast("double")
+        F.lit(1.0) + _c(c_product_avlen) / doc_len.cast("double")
     )
 
 
@@ -413,7 +506,7 @@ class _InL2Term(TermWeight):
 
     def sumpart_col(self, wdf: Column, doc_len: Column, uniqterms=None) -> Column:
         wdfn = _wdfn_col(wdf, doc_len, self.c_product_avlen)
-        return F.when(wdf > 0, F.lit(self.wqf_product_idf) * (wdfn / (wdfn + F.lit(1.0)))).otherwise(0.0)
+        return F.when(wdf > 0, _c(self.wqf_product_idf) * (wdfn / (wdfn + F.lit(1.0)))).otherwise(0.0)
 
     def maxpart(self, wdf_max: int, doclen_lower_bound: int) -> float:
         if wdf_max == 0:
@@ -447,6 +540,15 @@ class InL2Scheme:
             factor=factor,
         )
 
+    def init_col(self, termfreq, collfreq, stats, wqf=1, factor=1.0, query_length=None):
+        N = float(stats["doccount"])
+        idf_max = F.log2(F.lit(N + 1) / (termfreq.cast("double") + F.lit(0.5)))
+        return _InL2Term(
+            wqf_product_idf=F.lit(float(wqf)) * idf_max * F.lit(factor),
+            c_product_avlen=self.c * stats["avg_length"],
+            factor=factor,
+        )
+
 
 @dataclass
 class _IfB2Term(TermWeight):
@@ -465,8 +567,8 @@ class _IfB2Term(TermWeight):
         wdfn = _wdfn_col(wdf, doc_len, self.c_product_avlen)
         return F.when(
             wdf > 0,
-            F.lit(self.wqf_product_idf)
-            * (wdfn * F.lit(self.B_constant) / (wdfn + F.lit(1.0))),
+            _c(self.wqf_product_idf)
+            * (wdfn * _c(self.B_constant) / (wdfn + F.lit(1.0))),
         ).otherwise(0.0)
 
     def maxpart(self, wdf_max: int, doclen_lower_bound: int) -> float:
@@ -504,6 +606,17 @@ class IfB2Scheme:
             factor=factor,
         )
 
+    def init_col(self, termfreq, collfreq, stats, wqf=1, factor=1.0, query_length=None):
+        N = float(stats["doccount"])
+        cf = collfreq.cast("double")
+        idf_max = F.log2(F.lit(N + 1.0) / (cf + F.lit(0.5)))
+        return _IfB2Term(
+            wqf_product_idf=F.lit(float(wqf)) * idf_max * F.lit(factor),
+            c_product_avlen=self.c * stats["avg_length"],
+            B_constant=(cf + F.lit(1.0)) / termfreq.cast("double"),
+            factor=factor,
+        )
+
 
 @dataclass
 class _IneB2Term(TermWeight):
@@ -524,8 +637,8 @@ class _IneB2Term(TermWeight):
         wdfn = _wdfn_col(wdf, doc_len, self.c_product_avlen)
         return F.when(
             wdf > 0,
-            (wdfn * F.lit(self.B_constant) / (wdfn + F.lit(1.0)))
-            * F.lit(self.wqf_product_idf),
+            (wdfn * _c(self.B_constant) / (wdfn + F.lit(1.0)))
+            * _c(self.wqf_product_idf),
         ).otherwise(0.0)
 
     def maxpart(self, wdf_max: int, doclen_lower_bound: int) -> float:
@@ -561,6 +674,21 @@ class IneB2Scheme:
             wqf_product_idf=wqf * idf_max * factor,
             c_product_avlen=self.c * stats["avg_length"],
             B_constant=(Fcf + 1.0) / termfreq,
+            idf_max=idf_max,
+            wqf=float(wqf),
+            factor=factor,
+        )
+
+    def init_col(self, termfreq, collfreq, stats, wqf=1, factor=1.0, query_length=None):
+        N = float(stats["doccount"])
+        cf = collfreq.cast("double")
+        mean = cf / F.lit(N)
+        expected_max = F.lit(N) * (F.lit(1.0) - F.exp(-mean))
+        idf_max = F.log2(F.lit(N + 1.0) / (expected_max + F.lit(0.5)))
+        return _IneB2Term(
+            wqf_product_idf=F.lit(float(wqf)) * idf_max * F.lit(factor),
+            c_product_avlen=self.c * stats["avg_length"],
+            B_constant=(cf + F.lit(1.0)) / termfreq.cast("double"),
             idf_max=idf_max,
             wqf=float(wqf),
             factor=factor,
@@ -603,18 +731,18 @@ class _BB2Term(TermWeight):
     def sumpart_col(self, wdf: Column, doc_len: Column, uniqterms=None) -> Column:
         Fc = self.F_coll
         wdfn0 = _wdfn_col(wdf, doc_len, self.c_product_avlen)
-        wdfn = F.least(wdfn0, F.lit(Fc - 1.0))
+        wdfn = F.least(wdfn0, _c(Fc) - F.lit(1.0))
         N_less_2 = 0.0 if self.N_clamped <= 2 else self.N_clamped - 2
-        y2 = F.lit(Fc) - wdfn
+        y2 = _c(Fc) - wdfn
         y1 = F.lit(N_less_2) + y2
 
         def stirling(diff, y, const):
-            return (y + F.lit(0.5)) * (F.lit(const) - F.log2(y)) + diff * F.lit(const)
+            return (y + F.lit(0.5)) * (_c(const) - F.log2(y)) + diff * _c(const)
 
         st = stirling(wdfn + F.lit(1.0), y1, self.stirling_constant_1) - stirling(
             wdfn, y2, self.stirling_constant_2
         )
-        B = F.lit(self.B_constant) / (wdfn + F.lit(1.0))
+        B = _c(self.B_constant) / (wdfn + F.lit(1.0))
         w = B * (F.lit(self.wt) + st)
         return F.when((wdf > 0) & (w > 0.0), w).otherwise(0.0)
 
@@ -665,6 +793,21 @@ class BB2Scheme:
             doclen_upper_bound=float(stats.get("doclen_upper_bound", 0) or 1),
         )
 
+    def init_col(self, termfreq, collfreq, stats, wqf=1, factor=1.0, query_length=None):
+        cf = collfreq.cast("double")
+        N = 2.0 if stats["doccount"] <= 2 else float(stats["doccount"])
+        return _BB2Term(
+            c_product_avlen=self.c * stats["avg_length"],
+            B_constant=F.lit(wqf * factor) * (cf + F.lit(1.0))
+            / termfreq.cast("double"),
+            wt=-1.0 / math.log(2.0) - math.log2(N - 1.0),
+            stirling_constant_1=F.log2(F.lit(N) + cf - F.lit(1.0)),
+            stirling_constant_2=F.log2(cf),
+            F_coll=cf,
+            N_clamped=N,
+            doclen_upper_bound=float(stats.get("doclen_upper_bound", 0) or 1),
+        )
+
 
 @dataclass
 class _DLHTerm(TermWeight):
@@ -692,7 +835,7 @@ class _DLHTerm(TermWeight):
         wdf_to_len = x / ln
         one_minus = F.lit(1.0) - wdf_to_len
         wt = (
-            x * F.log2(wdf_to_len * F.lit(self.log_constant))
+            x * F.log2(wdf_to_len * _c(self.log_constant))
             + (ln - x) * F.log2(one_minus)
             + F.lit(0.5) * F.log2(F.lit(2.0 * math.pi) * x * one_minus)
         )
@@ -738,6 +881,14 @@ class DLHScheme:
             doclen_upper_bound=float(stats.get("doclen_upper_bound", 0) or 1),
         )
 
+    def init_col(self, termfreq, collfreq, stats, wqf=1, factor=1.0, query_length=None):
+        return _DLHTerm(
+            log_constant=F.lit(float(stats["total_length"]))
+            / collfreq.cast("double"),
+            wqf_product_factor=wqf * factor,
+            doclen_upper_bound=float(stats.get("doclen_upper_bound", 0) or 1),
+        )
+
 
 @dataclass
 class _PL2Term(TermWeight):
@@ -768,15 +919,18 @@ class _PL2Term(TermWeight):
             return F.lit(0.0)
         wdfn = _wdfn_col(wdf, doc_len, self.cl)
         P = (
-            F.lit(self.P1)
+            _c(self.P1)
             + (wdfn + F.lit(0.5)) * F.log2(wdfn)
-            - F.lit(self.P2) * wdfn
+            - _c(self.P2) * wdfn
         )
-        if self.dw == 0.0:
-            out = F.lit(self.factor) * P / (wdfn + F.lit(1.0))
+        # dw is a Column on the PL2+ distributed path — decide the branch
+        # python-side (Column truthiness would raise)
+        plain_pl2 = not isinstance(self.dw, Column) and self.dw == 0.0
+        if plain_pl2:
+            out = _c(self.factor) * P / (wdfn + F.lit(1.0))
             return F.when((wdf > 0) & (P > 0.0), out).otherwise(0.0)
-        wt = (P / (wdfn + F.lit(1.0))) + F.lit(self.dw)
-        out = F.lit(self.factor) * wt
+        wt = (P / (wdfn + F.lit(1.0))) + _c(self.dw)
+        out = _c(self.factor) * wt
         return F.when((wdf > 0) & (wt > 0.0), out).otherwise(0.0)
 
     def maxpart(self, wdf_max: int, doclen_lower_bound: int) -> float:
@@ -822,6 +976,18 @@ class PL2Scheme:
             doclen_upper_bound=float(stats.get("doclen_upper_bound", 0) or 1),
         )
 
+    def init_col(self, termfreq, collfreq, stats, wqf=1, factor=1.0, query_length=None):
+        base_change = 1.0 / math.log(2.0)
+        mean = collfreq.cast("double") / F.lit(float(stats["doccount"]))
+        return _PL2Term(
+            factor=factor * wqf,
+            cl=self.c * stats["avg_length"],
+            P1=mean * F.lit(base_change)
+            + F.lit(0.5 * math.log2(2.0 * math.pi)),
+            P2=F.log2(mean) + F.lit(base_change),
+            doclen_upper_bound=float(stats.get("doclen_upper_bound", 0) or 1),
+        )
+
 
 class PL2PlusScheme:
     """PL2PlusWeight (weight.h:1783): PL2 with delta bonus, c=1.0, delta=0.8.
@@ -860,6 +1026,25 @@ class PL2PlusScheme:
             dw=P_delta / (self.delta + 1.0),
         )
 
+    def init_col(self, termfreq, collfreq, stats, wqf=1, factor=1.0, query_length=None):
+        base_change = 1.0 / math.log(2.0)
+        mean = collfreq.cast("double") / F.lit(float(stats["doccount"]))
+        P1 = mean * F.lit(base_change) + F.lit(0.5 * math.log2(2.0 * math.pi))
+        P2 = F.log2(mean) + F.lit(base_change)
+        d = self.delta
+        P_delta = P1 + F.lit((d + 0.5) * math.log2(d)) - P2 * F.lit(d)
+        # the mean>1 'plus disabled' rule becomes a per-term zeroed factor
+        # (sumpart_col then yields 0.0 exactly like the disabled scalar term)
+        fac = F.when(mean > 1, F.lit(0.0)).otherwise(F.lit(factor * wqf))
+        return _PL2Term(
+            factor=fac,
+            cl=self.c * stats["avg_length"],
+            P1=P1,
+            P2=P2,
+            doclen_upper_bound=float(stats.get("doclen_upper_bound", 0) or 1),
+            dw=P_delta / F.lit(d + 1.0),
+        )
+
 
 @dataclass
 class _DPHTerm(TermWeight):
@@ -888,7 +1073,7 @@ class _DPHTerm(TermWeight):
         x = F.lit(1.0) - wdf_to_len
         normalization = x * x / (w + F.lit(1.0))
         wt = normalization * (
-            w * (F.log2(wdf_to_len) + F.lit(self.log_constant))
+            w * (F.log2(wdf_to_len) + _c(self.log_constant))
             + F.lit(0.5) * F.log2(F.lit(2 * math.pi) * w * (F.lit(1.0) - wdf_to_len))
         )
         out = F.lit(self.wqf_product_factor) * wt
@@ -932,6 +1117,15 @@ class DPHScheme:
             doclen_upper_bound=float(stats.get("doclen_upper_bound", 0) or 1),
         )
 
+    def init_col(self, termfreq, collfreq, stats, wqf=1, factor=1.0, query_length=None):
+        return _DPHTerm(
+            log_constant=F.log2(
+                F.lit(float(stats["total_length"])) / collfreq.cast("double")
+            ),
+            wqf_product_factor=wqf * factor,
+            doclen_upper_bound=float(stats.get("doclen_upper_bound", 0) or 1),
+        )
+
 
 # ---------------------------------------------------------------------------
 # Language-model family (weight.h:1878-2165, weight/lmweight.cc): LMJM,
@@ -951,8 +1145,8 @@ class _LMJMTerm(TermWeight):
         return self.factor * math.log(1.0 + w)
 
     def sumpart_col(self, wdf: Column, doc_len: Column, uniqterms=None) -> Column:
-        w = F.lit(self.multiplier) * wdf.cast("double") / doc_len.cast("double")
-        return F.lit(self.factor) * F.log(F.lit(1.0) + w)
+        w = _c(self.multiplier) * wdf.cast("double") / doc_len.cast("double")
+        return _c(self.factor) * F.log(F.lit(1.0) + w)
 
     def maxpart(self, wdf_max: int, doclen_lower_bound: int) -> float:
         w = self.multiplier
@@ -988,6 +1182,24 @@ class LMJMScheme:
         multiplier = (1.0 - lam) * stats["total_length"] / (lam * collfreq)
         return _LMJMTerm(factor=factor * wqf, multiplier=multiplier)
 
+    def init_col(self, termfreq, collfreq, stats, wqf=1, factor=1.0, query_length=None):
+        lam = self.lambda_
+        if lam <= 0.0 or lam >= 1.0:
+            ql = query_length if query_length is not None else 1
+            if ql <= 2:
+                lam = 0.1
+            elif ql < 8:
+                lam = (ql - 1) * 0.1
+            else:
+                lam = 0.7
+        cf = collfreq.cast("double")
+        multiplier = F.when(
+            collfreq > 0,
+            F.lit((1.0 - lam) * stats["total_length"]) / (F.lit(lam) * cf),
+        ).otherwise(0.0)
+        fac = F.when(collfreq > 0, F.lit(factor * float(wqf))).otherwise(0.0)
+        return _LMJMTerm(factor=fac, multiplier=multiplier)
+
 
 @dataclass
 class _LMDirichletTerm(TermWeight):
@@ -1001,8 +1213,8 @@ class _LMDirichletTerm(TermWeight):
         return self.factor * math.log(1.0 + wdf * self.multiplier)
 
     def sumpart_col(self, wdf: Column, doc_len: Column, uniqterms=None) -> Column:
-        return F.lit(self.factor) * F.log(
-            F.lit(1.0) + wdf.cast("double") * F.lit(self.multiplier)
+        return _c(self.factor) * F.log(
+            F.lit(1.0) + wdf.cast("double") * _c(self.multiplier)
         )
 
     def maxpart(self, wdf_max: int, doclen_lower_bound: int) -> float:
@@ -1055,6 +1267,20 @@ class LMDirichletScheme:
             doclen_upper_bound=float(stats.get("doclen_upper_bound", 0) or 1),
         )
 
+    def init_col(self, termfreq, collfreq, stats, wqf=1, factor=1.0, query_length=None):
+        cf = collfreq.cast("double")
+        multiplier = F.lit(float(stats["total_length"])) / (cf * F.lit(self.mu))
+        f = F.lit(factor * float(wqf))
+        if self.delta != 0.0:
+            f = f * F.log(F.lit(1.0) + F.lit(self.delta) * multiplier)
+        return _LMDirichletTerm(
+            factor=F.when(collfreq > 0, f).otherwise(0.0),
+            multiplier=F.when(collfreq > 0, multiplier).otherwise(0.0),
+            mu=self.mu,
+            query_length=float(query_length or 1),
+            doclen_upper_bound=float(stats.get("doclen_upper_bound", 0) or 1),
+        )
+
 
 @dataclass
 class _LMAbsDiscountTerm(TermWeight):
@@ -1076,9 +1302,9 @@ class _LMAbsDiscountTerm(TermWeight):
             if uniqterms is not None
             else F.lit(1.0)
         )
-        return F.lit(self.factor) * F.log(
+        return _c(self.factor) * F.log(
             F.lit(1.0)
-            + (wdf.cast("double") - F.lit(self.delta)) / u * F.lit(self.multiplier)
+            + (wdf.cast("double") - F.lit(self.delta)) / u * _c(self.multiplier)
         )
 
     def maxpart(self, wdf_max: int, doclen_lower_bound: int) -> float:
@@ -1127,6 +1353,17 @@ class LMAbsDiscountScheme:
             doclen_upper_bound=float(stats.get("doclen_upper_bound", 0) or 1),
         )
 
+    def init_col(self, termfreq, collfreq, stats, wqf=1, factor=1.0, query_length=None):
+        cf = collfreq.cast("double")
+        multiplier = F.lit(float(stats["total_length"])) / (F.lit(self.delta) * cf)
+        return _LMAbsDiscountTerm(
+            factor=F.when(collfreq > 0, F.lit(factor * float(wqf))).otherwise(0.0),
+            multiplier=F.when(collfreq > 0, multiplier).otherwise(0.0),
+            delta=self.delta,
+            query_length=float(query_length or 1),
+            doclen_upper_bound=float(stats.get("doclen_upper_bound", 0) or 1),
+        )
+
 
 @dataclass
 class _LM2StageTerm(TermWeight):
@@ -1143,11 +1380,11 @@ class _LM2StageTerm(TermWeight):
         )
 
     def sumpart_col(self, wdf: Column, doc_len: Column, uniqterms=None) -> Column:
-        return F.lit(self.factor) * F.log(
+        return _c(self.factor) * F.log(
             F.lit(1.0)
             + wdf.cast("double")
             / (F.lit(self.lambda_) * doc_len.cast("double") + F.lit(self.mu))
-            * F.lit(self.multiplier)
+            * _c(self.multiplier)
         )
 
     def maxpart(self, wdf_max: int, doclen_lower_bound: int) -> float:
@@ -1201,6 +1438,18 @@ class LM2StageScheme:
             doclen_upper_bound=float(stats.get("doclen_upper_bound", 0) or 1),
         )
 
+    def init_col(self, termfreq, collfreq, stats, wqf=1, factor=1.0, query_length=None):
+        cf = collfreq.cast("double")
+        multiplier = F.lit((1 - self.lambda_) * stats["total_length"]) / cf
+        return _LM2StageTerm(
+            factor=F.when(collfreq > 0, F.lit(factor * float(wqf))).otherwise(0.0),
+            multiplier=F.when(collfreq > 0, multiplier).otherwise(0.0),
+            lambda_=self.lambda_,
+            mu=self.mu,
+            query_length=float(query_length or 1),
+            doclen_upper_bound=float(stats.get("doclen_upper_bound", 0) or 1),
+        )
+
 
 # ---------------------------------------------------------------------------
 # Dice coefficient (weight.h:2210, weight/diceweight.cc).
@@ -1239,6 +1488,8 @@ class DiceScheme:
             query_length=float(query_length or 1),
             uniq_lower_bound=float(stats.get("uniqterms_lower_bound", 1) or 1),
         )
+
+    init_col = init  # no per-term stats consulted
 
 
 ALL_SCHEMES = {

@@ -365,6 +365,7 @@ def repeated_spans(
     w: int = 5,
     min_docs: int = 2,
     top_n: int = 20,
+    join_on_hash: bool = False,
 ) -> DataFrame:
     """Exact repeated w-token span mining — the substring-level dedup
     primitive ("Deduplicating Training Data Makes Language Models
@@ -380,10 +381,13 @@ def repeated_spans(
     ``shingles``/``winnow``) that pre-aggregates per-doc occurrence
     counts map-side, then ONE groupBy(span) with map-side partial aggs
     and a bounded TakeOrdered.  At 100 TB granularity the span strings
-    themselves dominate the shuffle: group on ``xxhash64(span)`` and
-    re-attach one exemplar per hash (min(span)) — same trade as the
-    jaccard hash-join variant; the string path here keeps the DuckDB
-    oracle byte-comparable.
+    themselves dominate the shuffle: ``join_on_hash=True`` groups on
+    ``xxhash64(span)`` — an 8-byte shuffle key instead of the ~w·6-byte
+    string — and re-attaches one exemplar per hash (``min(span)``, exact
+    barring a 64-bit collision) — same trade as the jaccard hash-join
+    variant (``ngram_jaccard_pairs(join_on_hash=True)``).  The string
+    path keeps the DuckDB oracle byte-comparable; both return the same
+    rows (equivalence pinned in tests).
     """
     import re
 
@@ -416,13 +420,26 @@ def repeated_spans(
     per_doc = docs.select(
         F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
     ).mapInPandas(kernel, "doc_id long, span string, occ long")
-    return (
-        per_doc.groupBy("span")
-        .agg(
+    if join_on_hash:
+        # 8-byte shuffle key; min(span) doubles as exemplar AND collision
+        # canary (two spans under one hash would surface as one row with
+        # the lexicographically-smaller span — ~2^-64 per pair)
+        agg = (
+            per_doc.groupBy(F.xxhash64("span").alias("_h"))
+            .agg(
+                F.min("span").alias("span"),
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("occ").cast("long").alias("n_occ"),
+            )
+            .drop("_h")
+        )
+    else:
+        agg = per_doc.groupBy("span").agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("occ").cast("long").alias("n_occ"),
         )
-        .filter(F.col("n_docs") >= min_docs)
+    return (
+        agg.filter(F.col("n_docs") >= min_docs)
         .orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("span"))
         .limit(top_n)
     )

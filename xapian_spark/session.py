@@ -53,6 +53,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.local.dir", local_dir)
+        # Commit algorithm v2: task commits move files straight into the
+        # destination, so the job-commit step is O(1) instead of a serial
+        # driver-side rename loop over every task's output (the measured
+        # non-scaling tail of the write phase).  Safe here because index
+        # VISIBILITY is gated by the manifest rename in sources/catalog.py
+        # (readers never list a directory that has no manifest), exactly
+        # the reason the manifest exists — same pattern as Iceberg commits
+        # over direct-write object stores.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -63,6 +63,14 @@ def save_index(index: IndexTables, path: str, sort_postings: bool = False) -> di
         ]
         for f in futs:
             f.result()
+    return write_manifest(path, index)
+
+
+def write_manifest(path: str, index: IndexTables) -> dict:
+    """Atomically commit the snapshot manifest — the index is VISIBLE to
+    readers only after this rename (≈ the glass revision flip), which is
+    also what makes direct-write task commit (committer algorithm v2 in
+    session.py) safe: a partially-written directory has no manifest."""
     manifest = {
         "snapshot_id": uuid.uuid4().hex,
         "committed_at": time.time(),
