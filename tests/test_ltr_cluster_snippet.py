@@ -576,3 +576,47 @@ def test_value_weight_source_binary_slot(spark):
     )
     got = {r["doc_id"]: r["weight"] for r in value_weight_source(df, "slot").collect()}
     assert got == {i: v for i, v in enumerate(vals)}  # null slot skipped
+
+
+def test_ranker_evaluation_loop_ndcg(spark):
+    """The reference's letor evaluation loop (train → rank → score):
+    ListNET-ranked output evaluated with the NDCG scorer; the trained
+    ranker must beat a deliberately-inverted one."""
+    from xapian_spark.operators.ltr import (
+        listnet_rank,
+        listnet_train_sgd,
+        ndcg_df,
+    )
+
+    # label correlates with feature 0, anti-correlates with feature 1
+    lists = []
+    rows = []
+    did = 0
+    for q in range(6):
+        qlist = []
+        for i in range(8):
+            label = float(i % 4)
+            f = [label + 0.1 * ((did * 7) % 3), 3.0 - label]
+            qlist.append((label, f))
+            rows.append((q, did, label, f))
+            did += 1
+        lists.append(qlist)
+    w = listnet_train_sgd(lists, iterations=30, learning_rate=0.05)
+    df = spark.createDataFrame(
+        rows, "qid long, doc_id long, label double, features array<double>"
+    )
+    ranked = listnet_rank(df, w)
+    good = (
+        ndcg_df(ranked, query_col="qid", label_col="label", score_col="score")
+        .agg({"ndcg": "avg"})
+        .first()[0]
+    )
+    bad = (
+        ndcg_df(
+            listnet_rank(df, [-x for x in w]),
+            query_col="qid", label_col="label", score_col="score",
+        )
+        .agg({"ndcg": "avg"})
+        .first()[0]
+    )
+    assert 0.0 < bad < good <= 1.0
