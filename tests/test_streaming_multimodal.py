@@ -356,3 +356,34 @@ def test_streaming_stateful_first_seen_bloom(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.sql("SELECT * FROM first_seen_bloom_t").collect()}
     assert got == {1, 2, 4}
+
+
+def test_jpeg_header_fill_bytes_and_sos():
+    """Spec-conformant JPEG quirks (ADVICE r06): 0xFF fill bytes before a
+    marker are padding, not a marker byte; a stream reaching SOS before any
+    SOFn bails out cleanly instead of walking into entropy-coded data."""
+    import struct
+
+    import pytest
+
+    from xapian_spark.operators.multimodal import media_header
+
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof = struct.pack(">BHHB", 8, 480, 640, 3) + b"\x01\x11\x00" * 3
+    # fill bytes (extra 0xFF) before both the APP0 and SOF0 markers
+    padded = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    )
+    assert media_header(padded) == {
+        "format": "jpeg", "width": 640, "height": 480, "depth": 8, "channels": 3,
+    }
+    # SOS before any SOFn: clean ValueError, not a misparse of scan bytes
+    sos_first = (
+        b"\xff\xd8"
+        + b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x3f\x00\x00"
+        + b"\x12\x34" * 16
+    )
+    with pytest.raises(ValueError):
+        media_header(sos_first)

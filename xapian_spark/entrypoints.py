@@ -1937,32 +1937,8 @@ FROM g GROUP BY query_id ORDER BY query_id""",
 )
 
 
-# ---------------------------------------------------------------------------
-# Driver-artifact rotation.  The per-round driver verifies the FIRST 50
-# queries() entries (observed cap: CORRECTNESS_r03..r05 each contain exactly
-# 50 — the first 50 in registration order).  56 entries are registered, so
-# the entries that have never appeared in a driver artifact (lcd_clusters,
-# reconstruct_text — new in r5; kmeans_cluster_sizes, snippets_topk —
-# dropped from the window when later entries were added; plus this round's
-# posting_source_value_weight, ltr_ndcg) must sit inside that window.
-# These six entries — each rows+schema+hash-green in the r03, r04 AND r05
-# driver artifacts — rotate to the tail: still registered, still
-# oracle-backed, still pytest-covered, just outside this round's window.
-# ---------------------------------------------------------------------------
-_ROTATE_TO_TAIL = [
-    "bm25_percent",
-    "bm25_percent_cutoff",
-    "sort_by_value",
-    "sort_multi_key",
-    "bm25_date_range",
-    "bm25_unit_range",
-    # rank-identical twins of window-verified entries (bench-latency
-    # reporting only) — never need a window slot
-    "bm25_wand_auto_hot",
-    "bm25_wand_auto_or2",
-]
-for _n in _ROTATE_TO_TAIL:
-    SPARK_QUERIES[_n] = SPARK_QUERIES.pop(_n)
-    if _n in ORACLE_SQL:
-        ORACLE_SQL[_n] = ORACLE_SQL.pop(_n)
-del _n
+# Entries are registered in natural (definition) order — no curation of
+# which subset an external verifier sees.  (Round 6 rotated six
+# already-verified entries to the tail to exploit the driver's observed
+# 50-entry verification cap; the round-6 advisor flagged that as harness
+# manipulation, so the rotation is removed.)

@@ -280,24 +280,39 @@ def lloyd_kmeans(
     }
 
     def assign_df(cents_now):
-        dists = {}
-        for j, c in sorted(cents_now.items()):
-            carr = F.array(*[F.lit(float(x)) for x in c])
-            d = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    carr,
-                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            dists[j] = F.round(d, round_digits)
+        # Raw squared distances in ONE vectorized kernel — np.cumsum along
+        # the dimension axis IS the zip_with/aggregate left fold
+        # (((0+d0)+d1)+…) bit-for-bit, so the JVM-side round/argmin below
+        # sees the identical doubles the interpreted HOF produced (the HOF
+        # evaluated k·dim lambdas per row and was the bulk of an IVF/kmeans
+        # build).  Rounding and tie-breaks stay Column expressions so the
+        # cross-engine replay semantics are untouched.
+        import numpy as np
+        import pandas as pd
+
+        ks = sorted(cents_now)
+        C = np.array([cents_now[j] for j in ks], dtype=np.float64)
+
+        def kern(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                diff = X[:, None, :] - C[None, :, :]
+                d = np.cumsum(diff * diff, axis=2)[:, :, -1]
+                out = {id_col: pdf[id_col]}
+                for i, j in enumerate(ks):
+                    out[f"_d{j}"] = d[:, i]
+                yield pd.DataFrame(out)
+
+        schema = f"{id_col} long, " + ", ".join(f"_d{j} double" for j in ks)
+        dcols = base.mapInPandas(kern, schema)
+        dists = {j: F.round(F.col(f"_d{j}"), round_digits) for j in ks}
         best = F.least(*dists.values())
         cl = F.lit(max(dists))
         for j in sorted(dists, reverse=True)[1:]:  # smallest index wins ties
             cl = F.when(dists[j] == best, F.lit(j)).otherwise(cl)
-        return base.select(F.col(id_col), cl.cast("int").alias("cluster"))
+        return dcols.select(F.col(id_col), cl.cast("int").alias("cluster"))
 
     assigned = assign_df(cents)
     for _ in range(iters - 1):

@@ -77,13 +77,21 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", w:
                 toks = [t for t in split_re.split((text or "").lower()) if t]
                 if len(toks) < w:
                     continue
-                seen = set()
-                for i in range(len(toks) - w + 1):
-                    s = " ".join(toks[i : i + w])
-                    if s not in seen:
-                        seen.add(s)
-                        out_ids.append(did)
-                        out_sh.append(s)
+                # Slice the once-joined doc instead of joining w tokens per
+                # window (identical strings: s[off[i] : off[i+w]-1] ==
+                # " ".join(toks[i:i+w]) by construction of the offsets).
+                s = " ".join(toks)
+                off = [0] * (len(toks) + 1)
+                acc = 0
+                for i, t in enumerate(toks):
+                    acc += len(t) + 1
+                    off[i + 1] = acc
+                uniq = dict.fromkeys(
+                    s[off[i] : off[i + w] - 1]
+                    for i in range(len(toks) - w + 1)
+                )
+                out_ids.extend([did] * len(uniq))
+                out_sh.extend(uniq)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(out_ids, dtype="int64"),
@@ -132,6 +140,9 @@ def winnow_fingerprints(
     # oracle's RE2 \s — python str.split() would also split U+00A0 etc.
     ws = re.compile(r"[\t\n\x0b\f\r ]+")
 
+    md5 = hashlib.md5
+    from_bytes = int.from_bytes
+
     def kernel(batches):
         for pdf in batches:
             out_id, out_n, out_sig = [], [], []
@@ -140,16 +151,24 @@ def winnow_fingerprints(
                 n = len(toks)
                 if n < k + w - 1:
                     continue
-                # first 8 md5 hex chars as uint32: fixed-width lowercase hex
-                # sorts identically to its numeric value, so the sliding min
-                # can run as a vectorized integer ufunc
+                # first 8 md5 hex chars as uint32 (== the digest's first 4
+                # bytes big-endian): fixed-width lowercase hex sorts
+                # identically to its numeric value, so the sliding min can
+                # run as a vectorized integer ufunc.  Grams are byte slices
+                # of the once-encoded joined doc (same bytes as
+                # " ".join(toks[i:i+k]).encode() — offsets are byte lengths).
+                btoks = [t.encode() for t in toks]
+                bs = b" ".join(btoks)
+                off = [0] * (n + 1)
+                acc = 0
+                for i, bt in enumerate(btoks):
+                    acc += len(bt) + 1
+                    off[i + 1] = acc
                 hs = np.array(
                     [
-                        int(
-                            hashlib.md5(
-                                " ".join(toks[i : i + k]).encode()
-                            ).hexdigest()[:8],
-                            16,
+                        from_bytes(
+                            md5(bs[off[i] : off[i + k] - 1]).digest()[:4],
+                            "big",
                         )
                         for i in range(n - k + 1)
                     ],
@@ -159,10 +178,10 @@ def winnow_fingerprints(
                 mins = hs[: m - w + 1].copy()
                 for s in range(1, w):
                     np.minimum(mins, hs[s : s + m - w + 1], out=mins)
-                fps = [format(v, "08x") for v in sorted(set(mins.tolist()))]
+                fps = [format(v, "08x") for v in np.unique(mins).tolist()]
                 out_id.append(int(did))
                 out_n.append(len(fps))
-                out_sig.append(hashlib.md5(",".join(fps).encode()).hexdigest())
+                out_sig.append(md5(",".join(fps).encode()).hexdigest())
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(out_id, dtype="int64"),
@@ -224,32 +243,44 @@ def minhash_candidate_pairs(
     Use ``band_bucket_sizes`` to audit what a cap would drop.
     """
     rows = n_hashes // bands
-    out = None
-    for b in range(bands):
-        cols = [f"h{b * rows + i + 1}" for i in range(rows)]
-        banded = sig.select(
-            "doc_id", F.concat_ws("|", *cols).alias("band_key")
-        )
-        if max_bucket_size is not None:
-            # windowed count on the band_key shuffle the self-join reuses
-            # (same one-pass cap as ngram_jaccard_pairs' max_shingle_df)
-            from pyspark.sql.window import Window
-
-            banded = (
-                banded.withColumn(
-                    "_m", F.count("*").over(Window.partitionBy("band_key"))
-                )
-                .filter(F.col("_m") <= max_bucket_size)
-                .drop("_m")
+    # ONE exploded (band, band_key) table and ONE self-join on the composite
+    # key, instead of a per-band join + union: the result set is identical
+    # (distinct over the union of per-band joins == distinct over the
+    # composite-key join), but the signature table is read once and the
+    # union of b shuffles collapses into one (guide §2.4).
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[f"h{b * rows + i + 1}" for i in range(rows)]
+                ).alias("band_key"),
             )
-        j = (
-            banded.alias("a")
-            .join(banded.alias("b"), "band_key")
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_arr).alias("_bb")).select(
+        "doc_id", "_bb.band", "_bb.band_key"
+    )
+    if max_bucket_size is not None:
+        # windowed count on the (band, band_key) shuffle the self-join
+        # reuses (same one-pass cap as ngram_jaccard_pairs' max_shingle_df)
+        from pyspark.sql.window import Window
+
+        banded = (
+            banded.withColumn(
+                "_m", F.count("*").over(Window.partitionBy("band", "band_key"))
+            )
+            .filter(F.col("_m") <= max_bucket_size)
+            .drop("_m")
         )
-        out = j if out is None else out.unionByName(j)
-    return out.distinct()
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
 
 
 def band_bucket_sizes(sig: DataFrame, n_hashes: int = 8, bands: int = 1) -> DataFrame:
@@ -395,6 +426,8 @@ def repeated_spans(
 
     split_re = re.compile(r"\s+", re.ASCII)
 
+    from collections import Counter
+
     def kernel(batches):
         for pdf in batches:
             out_ids, out_sp, out_oc = [], [], []
@@ -402,10 +435,18 @@ def repeated_spans(
                 toks = [t for t in split_re.split((text or "").lower()) if t]
                 if len(toks) < w:
                     continue
-                per: dict[str, int] = {}
-                for i in range(len(toks) - w + 1):
-                    s = " ".join(toks[i : i + w])
-                    per[s] = per.get(s, 0) + 1
+                # slice the once-joined doc per window (same strings as
+                # " ".join(toks[i:i+w]) — see the shingles kernel)
+                s = " ".join(toks)
+                off = [0] * (len(toks) + 1)
+                acc = 0
+                for i, t in enumerate(toks):
+                    acc += len(t) + 1
+                    off[i + 1] = acc
+                per = Counter(
+                    s[off[i] : off[i + w] - 1]
+                    for i in range(len(toks) - w + 1)
+                )
                 out_ids.extend([did] * len(per))
                 out_sp.extend(per.keys())
                 out_oc.extend(per.values())

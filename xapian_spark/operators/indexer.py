@@ -459,7 +459,7 @@ def _encode_poslist(poss: list[int]) -> bytes:
     return bytes(out)
 
 
-def _pack_partition(block_size: int, with_positions: bool):
+def _pack_partition(block_size: int, with_positions: bool, key_col: str = "term"):
     """mapInPandas kernel: one hash partition of (term, span_no) groups →
     block rows.
 
@@ -471,6 +471,14 @@ def _pack_partition(block_size: int, with_positions: bool):
     of group contents (deterministic at any parallelism): rows sorted by
     (term, span_no, doc_id), block boundaries at every ``block_size``-th
     posting within a group.
+
+    ``key_col='_thash'`` is the reduced-shuffle-bytes variant: the rows
+    carry an 8-byte ``xxhash64(term)`` instead of the term string (build
+    verifies injectivity over the vocabulary first), the sort keys become
+    pure int64 numpy sorts, and the term string is re-attached per BLOCK
+    row after packing — ~4096× fewer string attachments than shuffling one
+    per posting (guide §2.3 "shuffle keys and metadata instead of
+    payloads").
     """
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -481,8 +489,10 @@ def _pack_partition(block_size: int, with_positions: bool):
         del parts
         if len(pdf) == 0:
             return
-        pdf = pdf.sort_values(["term", "span_no", "doc_id"], kind="mergesort")
-        terms = pdf["term"].to_numpy(dtype=object)
+        pdf = pdf.sort_values([key_col, "span_no", "doc_id"], kind="mergesort")
+        terms = pdf[key_col].to_numpy(
+            dtype=object if key_col == "term" else np.int64
+        )
         span_nos = pdf["span_no"].to_numpy(dtype=np.int64)
         docids = pdf["doc_id"].to_numpy(dtype=np.uint64)
         wdfs = pdf["wdf"].to_numpy(dtype=np.uint64)
@@ -514,7 +524,7 @@ def _pack_partition(block_size: int, with_positions: bool):
                     pos_blob = b"".join(positions[lo:hi])
                 rows.append(
                     {
-                        "term": term,
+                        key_col: term,
                         "block_no": (span_no << _SUBBLOCK_SHIFT) | idx,
                         "first_docid": int(d[0]),
                         "last_docid": int(d[-1]),
@@ -643,7 +653,12 @@ def build_index(
         .crossJoin(corpus.agg(F.count("*").alias("doccount")))
         .crossJoin(
             dictionary.agg(
-                F.count("*").alias("vocab"), F.sum("termfreq").alias("n_postings")
+                F.count("*").alias("vocab"),
+                F.sum("termfreq").alias("n_postings"),
+                # injectivity witness for the int-key pack shuffle: grouping
+                # by xxhash64(term) equals grouping by term iff no two vocab
+                # terms collide (checked below; falls back to string keys)
+                F.count_distinct(F.xxhash64(F.col("term"))).alias("n_thash"),
             )
         )
     )
@@ -663,6 +678,13 @@ def build_index(
         from concurrent.futures import ThreadPoolExecutor
 
         os.makedirs(write_path, exist_ok=True)
+        # In-place rebuild atomicity (committer v2 writes land directly in
+        # the destination): retract the OLD manifest before any table is
+        # touched, so a crash mid-rewrite leaves an unreadable directory
+        # instead of a manifest pointing at mixed old/new part-files.
+        old_manifest = os.path.join(write_path, "MANIFEST.json")
+        if os.path.exists(old_manifest):
+            os.remove(old_manifest)
         pool = ThreadPoolExecutor(max_workers=2)
         side_futs["docs"] = pool.submit(
             docs.write.mode("overwrite").parquet, f"{write_path}/docs"
@@ -672,7 +694,17 @@ def build_index(
             f"{write_path}/dictionary",
         )
 
-    st = stats_plan.collect()[0]
+    def _abort_side_writes():
+        """Await/cancel in-flight docs/dictionary writes when the build
+        fails partway, so no thread or unobserved write exception leaks."""
+        if pool is not None:
+            pool.shutdown(wait=True, cancel_futures=True)
+
+    try:
+        st = stats_plan.collect()[0]
+    except BaseException:
+        _abort_side_writes()
+        raise
     t_stats = time.perf_counter() - t_phase0
     n_nonempty = int(st["n_nonempty"] or 0)
     total_docs = int(st["doccount"])
@@ -705,8 +737,28 @@ def build_index(
     # the broadcast stays a few MB even at 10^12 docs — vs broadcasting the
     # full vocabulary, whose driver-side hash-table build was a measured
     # non-scaling serial tail of the write phase.
-    dict_spans = dictionary.select(
-        "term",
+    # Int-key pack shuffle (guide §2.3): the pack repartition is the one
+    # full-width shuffle of the build; replacing the per-posting term STRING
+    # with xxhash64(term) shrinks its rows and turns the pack kernel's sort
+    # into a pure int64 sort.  Sound only when the hash is injective over
+    # THIS vocabulary (n_thash == vocab, verified in the stats job — a
+    # collision would merge two terms' groups) and when the block-level
+    # hash→term re-attach map is broadcastable; otherwise fall back to the
+    # string path (identical output either way).
+    vocab = int(st["vocab"] or 0)
+    hash_keys = (
+        int(st["n_thash"] or 0) == vocab
+        and vocab
+        <= int(os.environ.get("SPARK_GRAFT_PACK_HASH_MAX_VOCAB", "4000000"))
+    )
+    key_col = "_thash" if hash_keys else "term"
+    dict_keyed = (
+        dictionary.select(F.xxhash64("term").alias("_thash"), "term", "termfreq")
+        if hash_keys
+        else dictionary
+    )
+    dict_spans = dict_keyed.select(
+        key_col,
         F.least(
             F.lit(MAX_SPAN),
             F.greatest(
@@ -728,6 +780,7 @@ def build_index(
         # refuse loudly instead.
         max_doc_id = int(st["max_doc_id"] or 0)
         if max_doc_id >= (1 << 40):
+            _abort_side_writes()
             raise ValueError(
                 f"impact_tiers > 1 requires doc_id < 2^40 (got max "
                 f"{max_doc_id}); remap ids densely or build with "
@@ -745,11 +798,14 @@ def build_index(
                 F.col("wdf") >= F.lit(1 << (impact_tiers - 1 - t)), F.lit(t)
             ).otherwise(tier)
         span_no = (tier.cast("long") * F.lit(1 << 28)) + span_no
+    flat_keyed = (
+        flat.withColumn("_thash", F.xxhash64("term")) if hash_keys else flat
+    )
     grouped = (
-        flat.join(dict_spans, "term", "left")
+        flat_keyed.join(dict_spans, key_col, "left")
         .withColumn("span", F.coalesce(F.col("span"), F.lit(MAX_SPAN)))
         .withColumn("span_no", span_no)
-        .select("term", "span_no", "doc_id", "wdf", "n_pos", "doc_len", "pos_enc")
+        .select(key_col, "span_no", "doc_id", "wdf", "n_pos", "doc_len", "pos_enc")
     )
     # Explicit hash repartition on the group key: the pack stage is
     # Python-CPU-bound, so partition count must track cores AND bound
@@ -762,10 +818,29 @@ def build_index(
         spark.sparkContext.defaultParallelism * pack_factor,
         int(n_postings // 2_000_000) + 1,
     )
-    grouped = grouped.repartition(n_pack, "term", "span_no")
-    postings = grouped.mapInPandas(
-        _pack_partition(block_size, with_positions), BLOCK_SCHEMA
-    )
+    grouped = grouped.repartition(n_pack, key_col, "span_no")
+    if hash_keys:
+        hashed_schema = StructType(
+            [StructField("_thash", LongType())] + BLOCK_SCHEMA.fields[1:]
+        )
+        packed = grouped.mapInPandas(
+            _pack_partition(block_size, with_positions, key_col="_thash"),
+            hashed_schema,
+        )
+        # term strings re-attach once per BLOCK row (≈ n_postings/4096
+        # rows) via the broadcast hash→term map; the local sort restores
+        # the term-major row clustering the string path emits, so parquet
+        # row-group min/max pruning on term is unchanged.
+        tmap = F.broadcast(dict_keyed.select("_thash", "term"))
+        postings = (
+            packed.join(tmap, "_thash")
+            .select(*[f.name for f in BLOCK_SCHEMA.fields])
+            .sortWithinPartitions("term", "block_no")
+        )
+    else:
+        postings = grouped.mapInPandas(
+            _pack_partition(block_size, with_positions), BLOCK_SCHEMA
+        )
 
     index = IndexTables(
         docs=docs,
@@ -782,11 +857,20 @@ def build_index(
     )
 
     if write_path is not None:
-        t0 = time.perf_counter()
-        postings.write.mode("overwrite").parquet(f"{write_path}/postings")
-        t_postings = time.perf_counter() - t0
+        # surface a side write that has ALREADY failed before paying for
+        # the postings write (ADVICE r06: one-sided error handling)
         for fut in side_futs.values():
-            fut.result()
+            if fut.done():
+                fut.result()
+        t0 = time.perf_counter()
+        try:
+            postings.write.mode("overwrite").parquet(f"{write_path}/postings")
+            t_postings = time.perf_counter() - t0
+            for fut in side_futs.values():
+                fut.result()
+        except BaseException:
+            _abort_side_writes()
+            raise
         pool.shutdown()
         from ..sources.catalog import write_manifest
 

@@ -1378,9 +1378,52 @@ class Matcher:
             *[x for t, i in order_map.items() for x in (F.lit(t), F.lit(i))]
         )
         dec = dec.withColumn("tord", term_order[F.col("term")])
+        n_uniq = len(order_map)
+        # term-slot sequence (with repeats) indexing into plists
+        slot_of = [order_map[t] for t in terms]
+        check = _make_window_check(slot_of, window, is_phrase)
+
+        if n_uniq == len(terms):
+            # Distinct-term fast path (every declared phrase/near query):
+            # score the SAME decode that feeds the window check — the old
+            # shape re-decoded each term's postings for the AND weights and
+            # semi-joined (3 decodes + 2 shuffles + 1 join); this is 1
+            # decode + 1 shuffle.  Weights are bit-identical: the per-term
+            # sumpart Column is CASE-dispatched on term and summed in leaf
+            # order by the same sorted-array fold as _ordered_weight_sum.
+            wexpr = None
+            for t in terms:
+                w = self._weight_for(t, 1, factor, stats)
+                part = w.sumpart_col(
+                    F.col("wdf"), F.col("doc_len"), self._uniq_col()
+                )
+                wexpr = (
+                    part
+                    if wexpr is None
+                    else F.when(F.col("term") == t, part).otherwise(wexpr)
+                )
+            dec = self._with_uniqterms(dec).withColumn("_w", wexpr)
+            g = dec.groupBy("doc_id").agg(
+                F.count("*").alias("npresent"),
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("tord"), F.col("positions")))
+                ).alias("plists"),
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("tord").alias("o"), F.col("_w").alias("w")
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["w"],
+                ).alias("weight"),
+            )
+            g = g.filter(F.col("npresent") == n_uniq)
+            return g.filter(check(F.col("plists"))).select("doc_id", "weight")
 
         # AND gate: all distinct terms present
-        n_uniq = len(order_map)
         g = dec.groupBy("doc_id").agg(
             F.count("*").alias("npresent"),
             F.array_sort(
@@ -1388,11 +1431,6 @@ class Matcher:
             ).alias("plists"),
         )
         g = g.filter(F.col("npresent") == n_uniq)
-
-        # term-slot sequence (with repeats) indexing into plists
-        slot_of = [order_map[t] for t in terms]
-
-        check = _make_window_check(slot_of, window, is_phrase)
         g = g.filter(check(F.col("plists"))).select("doc_id")
 
         # Weight like AND of the terms (PhrasePostList wraps an AndPostList;

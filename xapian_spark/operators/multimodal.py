@@ -77,23 +77,38 @@ def media_header(payload: bytes) -> dict:
         }
     if payload[:2] == b"\xff\xd8":  # JPEG SOI; walk segments to SOFn
         i = 2
-        while i + 9 < len(payload):
+        while i + 1 < len(payload):
             if payload[i] != 0xFF:
                 raise ValueError("corrupt JPEG segment stream")
-            marker = payload[i + 1]
+            # the spec allows any number of 0xFF FILL bytes before the
+            # marker byte (ADVICE r06: treating a fill byte as the marker
+            # read a bogus segment length and rejected valid files)
+            j = i + 1
+            while j < len(payload) and payload[j] == 0xFF:
+                j += 1
+            if j >= len(payload):
+                break
+            marker = payload[j]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                i += 2
+                i = j + 1  # standalone marker, no length field
                 continue
-            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if marker in (0xDA, 0xD9):
+                # SOS/EOI before any SOFn: entropy-coded data follows (or
+                # the stream ended) — bail out cleanly instead of walking
+                # into compressed bytes
+                break
+            if j + 9 >= len(payload):
+                break
+            seg_len = struct.unpack(">H", payload[j + 1 : j + 3])[0]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                depth = payload[i + 4]
-                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
-                channels = payload[i + 9]
+                depth = payload[j + 3]
+                h, w = struct.unpack(">HH", payload[j + 4 : j + 8])
+                channels = payload[j + 8]
                 return {
                     "format": "jpeg", "width": w, "height": h,
                     "depth": depth, "channels": channels,
                 }
-            i += 2 + seg_len
+            i = j + 1 + seg_len
         raise ValueError("no SOF marker in JPEG")
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         if len(payload) < 11:

@@ -379,36 +379,64 @@ def cosine_pairs_topk(
             if not len(pdf):
                 continue
             a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a_mat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            a_mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
             cos = (a_mat @ m_all.T) / (a_norm[:, None] * n_all[None, :])
-            out_a, out_b = [], []
             nkeep = min(k + pad, cos.shape[1] - 1)
-            for i in range(len(a_ids)):
-                row = cos[i]
-                kth = -np.partition(-row, nkeep)[nkeep] if nkeep > 0 else -2.0
-                for j in np.where(row >= kth - margin)[0]:
-                    if ids_all[j] == a_ids[i]:
-                        continue
-                    x, y = a_ids[i], ids_all[j]
-                    out_a.append(min(x, y))
-                    out_b.append(max(x, y))
+            # Vectorized per-row candidate selection (was a Python loop with
+            # one np.partition + np.where per row — guide §4.2): the kept
+            # set is IDENTICAL — every partner with cos >= (row's
+            # (k+pad)-th best) - margin, self excluded.
+            if nkeep > 0:
+                kth = -np.partition(-cos, nkeep, axis=1)[:, nkeep]
+            else:
+                kth = np.full(cos.shape[0], -2.0)
+            ii, jj = np.nonzero(cos >= kth[:, None] - margin)
+            left, right = a_ids[ii], ids_all[jj]
+            keep = left != right
+            left, right = left[keep], right[keep]
             yield pd.DataFrame(
                 {
-                    "a": pd.Series(out_a, dtype="int64"),
-                    "b": pd.Series(out_b, dtype="int64"),
+                    "a": pd.Series(np.minimum(left, right), dtype="int64"),
+                    "b": pd.Series(np.maximum(left, right), dtype="int64"),
                 }
             )
 
     cand = emb.mapInPandas(gen, "a long, b long").distinct()
-    va = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
-    vb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
-    x, y = F.col("_va"), F.col("_vb")
-    exact = _dot(x, y) / (F.sqrt(_dot(x, x)) * F.sqrt(_dot(y, y)))
+
+    def rerank(batches):
+        # Exact re-rank in the SAME left-fold float64 operation order as the
+        # engine's zip_with/aggregate cosine (np.cumsum IS the sequential
+        # left fold: ((p0+p1)+p2)…, and 0.0+p0 == p0 exactly) — replaces two
+        # id-joins plus ~3·|cand| interpreted higher-order dot folds with
+        # one vectorized kernel over the already-broadcast matrix.
+        ids_all, m_all, _ = b_all.value
+        order = np.argsort(ids_all, kind="stable")
+        ids_sorted = ids_all[order]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = pdf["a"].to_numpy(dtype=np.int64)
+            b = pdf["b"].to_numpy(dtype=np.int64)
+            xi = order[np.searchsorted(ids_sorted, a)]
+            yi = order[np.searchsorted(ids_sorted, b)]
+            x, y = m_all[xi], m_all[yi]
+            dot = np.cumsum(x * y, axis=1)[:, -1]
+            nx = np.sqrt(np.cumsum(x * x, axis=1)[:, -1])
+            ny = np.sqrt(np.cumsum(y * y, axis=1)[:, -1])
+            yield pd.DataFrame(
+                {
+                    "a": pd.Series(a, dtype="int64"),
+                    "b": pd.Series(b, dtype="int64"),
+                    "_cos_raw": dot / (nx * ny),
+                }
+            )
+
+    exact = cand.mapInPandas(rerank, "a long, b long, _cos_raw double")
     return (
-        cand.join(va, "a")
-        .join(vb, "b")
-        .select("a", "b", F.round(exact, round_digits).alias("cos"))
+        exact.select(
+            "a", "b", F.round(F.col("_cos_raw"), round_digits).alias("cos")
+        )
         .orderBy(F.desc("cos"), F.asc("a"), F.asc("b"))
         .limit(k)
     )

@@ -38,6 +38,13 @@ def save_index(index: IndexTables, path: str, sort_postings: bool = False) -> di
     externally-supplied block DataFrames).
     """
     os.makedirs(path, exist_ok=True)
+    # In-place rewrite atomicity with committer v2 (direct-write task
+    # commit): retract any OLD manifest before tables are touched, so a
+    # crash mid-rewrite leaves an unreadable directory rather than a
+    # manifest pointing at mixed old/new part-files.
+    old_manifest = os.path.join(path, MANIFEST)
+    if os.path.exists(old_manifest):
+        os.remove(old_manifest)
     postings = index.postings
     if sort_postings:
         postings = postings.repartition(
